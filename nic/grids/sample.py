@@ -1,0 +1,188 @@
+"""Grid corner sampling + decoder-input assembly (the hot decode math).
+
+Reimplements the reference's ``create_g0_g1{,_3d,_3d_v2}`` block assembly
+(``Projects/fp_def.py:81-223`` + ``Projects/image_compression.py:71-211`` of
+21K1113/Neural_Image_Compression_V2) the TPU way:
+
+- instead of flat pointwise gathers over N = n^d coordinates, indices are
+  **separable per axis** (every output block is an axis-aligned lattice
+  ``floor((arange(n) + origin) * step)``), so each corner is two cheap 1-D
+  ``take``s per axis instead of an N-point gather — XLA lowers these to
+  strided VMEM reads, and the same structure is what the fused Pallas
+  kernel exploits;
+- corner order is ``itertools.product((0,1), repeat=ndim)`` over
+  (axis0, axis1[, axis2]) offsets, which under the coordinate→grid-axis
+  convention below is element-for-element the reference's
+  ``g_0..g_3``/``g_0..g_7`` order (fp_def.py:81-104);
+- the reference's **G1 unweighted-sum quirk** is reproduced: bilinear /
+  trilinear weights are skipped when ``int(1 // (step/2)) == 1`` (i.e.
+  step == 2, when G1 coordinates land exactly on grid points — the 4/8
+  corners are then summed raw, fp_def.py:136-144); see readme.md:7.
+
+Convention: coordinate k indexes grid axis 1+k of a ``[C, s+1, ...]`` grid
+(the reference gathers ``fp[:, y, x]`` with x = crop axis 0 — i.e. its
+grids are stored transposed relative to the image; since grids are learned
+from init the two conventions define identical function classes; parity
+tests account for the transpose).
+
+Decoder-input row layout (features axis), matching
+image_compression.py:94-95/126-128/160-162:
+
+    [ G0 corner 0 (C) | ... | G0 corner k (C) | Σ G1 corners (C)
+      | PE (pe_channels * ndim) | lod (1) ]
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+
+from nic.core.encodings import sinusoidal_pe, triangular_pe
+
+__all__ = [
+    "axis_coords",
+    "corner_features",
+    "interp_weights",
+    "apply_g1_weights",
+    "decoder_input",
+    "EVEN_PARITY_CORNERS_3D",
+]
+
+# method-4 sparse G0: the four even-parity cube corners, in the reference's
+# order (fp_def.py:107-112 under the coordinate convention above)
+EVEN_PARITY_CORNERS_3D = ((0, 0, 0), (0, 1, 1), (1, 0, 1), (1, 1, 0))
+
+
+def axis_coords(origin, step: float, n: int, dtype=jnp.float32):
+    """Continuous G0 coords ``(arange(n) + origin) * step`` along one axis.
+
+    ``origin`` may be traced (crop origins are sampled per step); ``step``
+    and ``n`` are static. Returns (t, floor(t) as int32).
+    """
+    t = (jnp.arange(n, dtype=dtype) + jnp.asarray(origin, dtype=dtype)) * step
+    return t, jnp.floor(t).astype(jnp.int32)
+
+
+def corner_features(grid, idxs, offsets):
+    """Gather lattice corners of ``grid`` per axis.
+
+    grid: [C, s0, s1(, s2)]; idxs: per-axis int32 index vectors (len n_k);
+    offsets: iterable of 0/1 tuples. Returns {offset: [C, n0, n1(, n2)]}.
+    Takes are deduplicated across offsets sharing a prefix, so the 2D
+    4-corner case costs 2 + 4 one-axis takes and 3D 8-corner 2 + 4 + 8.
+    """
+    offsets = [tuple(o) for o in offsets]
+    partial_takes = {(): grid}
+    ndim = len(idxs)
+    for d in range(ndim):
+        nxt = {}
+        for key in sorted({off[: d + 1] for off in offsets}):
+            src = partial_takes[key[:d]]
+            nxt[key] = jnp.take(src, idxs[d] + key[d], axis=1 + d)
+        partial_takes = nxt
+    return {off: partial_takes[off] for off in offsets}
+
+
+def interp_weights(fracs, offset):
+    """Multilinear weight Π_k (frac_k if offset_k else 1-frac_k), broadcast
+    over the lattice. fracs: per-axis [n_k] vectors; returns [n0, n1(, n2)]."""
+    ndim = len(fracs)
+    w = None
+    for d, (f, o) in enumerate(zip(fracs, offset)):
+        shape = [1] * ndim
+        shape[d] = -1
+        fd = (f if o else (1.0 - f)).reshape(shape)
+        w = fd if w is None else w * fd
+    return w
+
+
+def _g1_weights_active(step: float) -> bool:
+    """The reference's weight gate (fp_def.py:136, :170, :209): weights are
+    applied unless ``int(1 // (step/2)) == 1``, i.e. skipped exactly when
+    G1 coords are integral with step == 2."""
+    return int(1 // (step / 2)) != 1
+
+
+def apply_g1_weights(corners: dict, fracs, step: float):
+    """Σ over G1 corners, multilinearly weighted unless the step==2 quirk
+    disables weighting (then the corners are summed raw)."""
+    if _g1_weights_active(step):
+        total = None
+        for off, g in corners.items():
+            w = interp_weights(fracs, off)[None]  # [1, n0, n1(,n2)]
+            term = g * w
+            total = term if total is None else total + term
+        return total
+    return sum(corners.values())
+
+
+def decoder_input(
+    fp,
+    fl: int,
+    origin,
+    step: float,
+    n: int,
+    *,
+    pe_channels: int,
+    mip_level: int,
+    ndim: int = 2,
+    use_tri_pe: bool = True,
+    sparse_g0: bool = False,
+    dtype=jnp.float32,
+):
+    """Assemble decoder-input rows for one n^ndim coordinate block.
+
+    fp: pyramid tuple; fl: static pyramid level; origin: length-ndim traced
+    ints (block origin in output-pixel units); step/n static.
+
+    Returns [n^ndim, F] with
+    F = C*(num_g0_corners + 1) + pe_channels*ndim + 1.
+
+    Parity: create_decoder_input_2d/3d/_3d_v2 + finally_decode_input_*
+    (image_compression.py:71-211) for a single crop; PE uses triangular
+    (tri-PE flag, 2D) / triangular (3D method 3) / sinusoidal (method 4 —
+    the reference hardcodes sinusoidal there, fp_def.py:208).
+    """
+    g0_grid = fp[fl * 2]
+    g1_grid = fp[fl * 2 + 1]
+    c = g0_grid.shape[0]
+
+    ts, i0s = [], []
+    for d in range(ndim):
+        t, i0 = axis_coords(origin[d], step, n, dtype)
+        ts.append(t)
+        i0s.append(i0)
+
+    # G0 corners (raw features, fed to the MLP unweighted)
+    if sparse_g0:
+        g0_offsets = EVEN_PARITY_CORNERS_3D
+    else:
+        g0_offsets = tuple(itertools.product((0, 1), repeat=ndim))
+    g0_corners = corner_features(g0_grid, i0s, g0_offsets)
+
+    # G1 at half resolution: gather + (quirk-gated) multilinear combine
+    t1s = [t / 2.0 for t in ts]
+    i1s = [jnp.floor(t1).astype(jnp.int32) for t1 in t1s]
+    f1s = [t1 - i1.astype(dtype) for t1, i1 in zip(t1s, i1s)]
+    g1_offsets = tuple(itertools.product((0, 1), repeat=ndim))
+    g1_corners = corner_features(g1_grid, i1s, g1_offsets)
+    g1_sum = apply_g1_weights(g1_corners, f1s, step)  # [C, n0.. ]
+
+    # PE over the continuous G1-resolution coordinates, flattened axis0-major
+    mesh = jnp.meshgrid(*t1s, indexing="ij")
+    coords = jnp.stack([m.reshape(-1) for m in mesh])  # [ndim, n^ndim]
+    if use_tri_pe:
+        pe = triangular_pe(coords, pe_channels)
+    else:
+        pe = sinusoidal_pe(coords, pe_channels)
+    pe = pe.astype(dtype)  # [pe_channels*ndim, N]
+
+    npts = n**ndim
+    lod_plane = jnp.full((1, npts), float(mip_level), dtype=dtype)
+
+    feats = [g0_corners[off].reshape(c, npts) for off in g0_offsets]
+    feats.append(g1_sum.reshape(c, npts))
+    feats.append(pe)
+    feats.append(lod_plane)
+    return jnp.concatenate(feats, axis=0).T  # [N, F]

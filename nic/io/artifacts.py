@@ -1,0 +1,151 @@
+"""Compressed-artifact + checkpoint I/O.
+
+One coherent format replaces the reference's scattered
+``model/*.pth`` + ``feature_pyramid/*.pth`` + ``comp/*.npy`` artifacts
+(SURVEY.md Appendix B; image_compression.py:380-396 of
+21K1113/Neural_Image_Compression_V2):
+
+- :func:`save_compressed` / :func:`load_compressed` — a single ``.npz``
+  holding the decoder MLP params, the **bit-packed** pyramid (true b-bit
+  payload, not one-byte-per-code like fp_def.py:250-255), and the config
+  JSON needed to rebuild the decode graph. This is the "ship it" file a
+  decoder-only runtime loads.
+- :func:`save_latent` / :func:`load_latent` — conv-AE uint8 latent
+  (image_comp.py:124-152 parity).
+- :func:`save_checkpoint` / :func:`load_checkpoint` — mid-training
+  params+opt-state snapshots for resume (movie_3d_comp.py:29-35
+  ``encode_from_middle`` parity), step-tagged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nic.core.quant import pack_bits, unpack_bits, pack_grid, unpack_grid
+
+__all__ = [
+    "save_compressed",
+    "load_compressed",
+    "compressed_num_bits",
+    "save_latent",
+    "load_latent",
+    "save_checkpoint",
+    "load_checkpoint",
+]
+
+
+def _flatten_tree(tree, prefix: str) -> dict:
+    flat = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_paths:
+        key = prefix + "/" + "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_compressed(
+    path: str,
+    mlp_params: dict,
+    pyramid,
+    fp_bits: int,
+    meta: dict,
+) -> int:
+    """Write the single-file compressed artifact. Returns payload bits
+    (pyramid codes + MLP params) for bpp accounting."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays: dict = {}
+    shapes = []
+    for i, g in enumerate(pyramid):
+        codes = np.asarray(pack_grid(g, fp_bits))
+        shapes.append(list(codes.shape))
+        arrays[f"grid{i}"] = pack_bits(codes, fp_bits)
+    arrays.update(_flatten_tree(mlp_params, "mlp"))
+    meta = dict(meta)
+    meta["fp_bits"] = fp_bits
+    meta["grid_shapes"] = shapes
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+    payload_bits = sum(int(np.prod(s)) for s in shapes) * fp_bits
+    payload_bits += sum(
+        int(np.asarray(p).size) * np.asarray(p).dtype.itemsize * 8
+        for p in jax.tree.leaves(mlp_params)
+    )
+    return payload_bits
+
+
+def load_compressed(path: str, dtype=jnp.float32):
+    """Read the artifact → (mlp_params, pyramid, meta)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        fp_bits = meta["fp_bits"]
+        pyramid = []
+        for i, shape in enumerate(meta["grid_shapes"]):
+            count = int(np.prod(shape))
+            codes = unpack_bits(z[f"grid{i}"], fp_bits, count).reshape(shape)
+            pyramid.append(unpack_grid(jnp.asarray(codes), fp_bits, dtype))
+        mlp: dict = {}
+        for key in z.files:
+            if key.startswith("mlp/"):
+                mlp[key[4:]] = jnp.asarray(z[key], dtype)
+    return mlp, tuple(pyramid), meta
+
+
+def compressed_num_bits(path: str) -> int:
+    """True payload bits of a saved artifact (grids + MLP)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        bits = sum(int(np.prod(s)) for s in meta["grid_shapes"]) * meta["fp_bits"]
+        for key in z.files:
+            if key.startswith("mlp/"):
+                bits += z[key].size * z[key].dtype.itemsize * 8
+    return bits
+
+
+def save_latent(path: str, latent_codes: np.ndarray, num_bits: int) -> None:
+    """Conv-AE latent codes (0..2^b-1) → uint8 .npy (image_comp.py:131-139)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, np.asarray(latent_codes).astype(np.uint8))
+
+
+def load_latent(path: str, num_bits: int, dtype=jnp.float32):
+    """uint8 .npy → dequantized latent in [0,1] (image_comp.py:142-145)."""
+    codes = np.load(path)
+    return jnp.asarray(codes, dtype) / (2.0**num_bits - 1.0)
+
+
+def save_checkpoint(path: str, step: int, params, opt_state=None, extra: dict | None = None) -> None:
+    """Step-tagged training snapshot (npz of flattened pytrees)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = _flatten_tree(params, "params")
+    if opt_state is not None:
+        arrays.update(_flatten_tree(opt_state, "opt"))
+    meta = {"step": step, **(extra or {})}
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str, params_template, opt_template=None):
+    """Restore (step, params[, opt_state]) into the template pytree shapes."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+
+        def restore(template, prefix):
+            leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+            new_leaves = []
+            for path_keys, leaf in leaves_with_paths:
+                key = prefix + "/" + "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p))) for p in path_keys
+                )
+                new_leaves.append(jnp.asarray(z[key], jnp.asarray(leaf).dtype))
+            return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+        params = restore(params_template, "params")
+        if opt_template is not None:
+            return meta["step"], params, restore(opt_template, "opt")
+    return meta["step"], params

@@ -1,0 +1,314 @@
+"""NTC feature-pyramid trainer — the flagship ``image_compression`` loop.
+
+Re-architects the reference's per-epoch loop
+(``Projects/image_compression.py:215-303`` of
+21K1113/Neural_Image_Compression_V2) for TPU/XLA:
+
+- the whole step (crop sampling → grid sampling → MLP fwd/bwd → Adam →
+  clamp) is ONE jitted function; shapes are static per (lod, phase), so
+  the step is compiled once per LOD bucket (≤ max_mip_level+1 buckets,
+  exactly the shape family the reference produces host-side);
+- crop origins are drawn on-device from a threaded PRNG key; the LOD
+  bucket itself is drawn host-side (it picks the compiled step), with the
+  reference's schedule: an accumulator fires a uniform draw every
+  1/UNIFORM_DISTRIBUTION_RATE steps, otherwise ``floor(-log2(U)/2)``
+  clamped to max mip (image_compression.py:26-50, sample19 lineage);
+- QAT phases: first 95% adds uniform noise and trains grids + MLP with
+  per-step clamp (fp lr 0.01 / mlp lr 0.005, cosine-annealed —
+  image_compression.py:361-365); the final 5% hard-quantizes and freezes
+  the grids and fine-tunes the MLP only (two separate optax chains — the
+  exact analogue of the reference's param groups + requires_grad freeze,
+  :227-231);
+- full-image decode is tiled (div_size semantics of
+  image_compression.py:307-346) and vmapped over tiles;
+- data parallelism: crops shard over a ``('data',)`` mesh axis, grids and
+  MLP replicated — jit + sharding annotations insert the psum on ICI
+  (no reference counterpart; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nic.config import CompressionConfig
+from nic.core.metrics import psnr
+from nic.core.quant import qat_noise, quantize_to_bit
+from nic.grids import pyramid as fp_lib
+from nic.grids.sample import decoder_input
+from nic.models.mlp import apply_mlp, init_mlp
+
+__all__ = ["NTCState", "NTCTrainer", "sample_lod", "UniformLodSchedule"]
+
+
+class UniformLodSchedule:
+    """Accumulator gate: fires True every 1/rate steps
+    (image_compression.py:221-226)."""
+
+    def __init__(self, rate: float):
+        self.rate = rate
+        self.acc = 0.0
+
+    def __call__(self) -> bool:
+        self.acc += self.rate
+        if self.acc >= 1.0:
+            self.acc -= 1.0
+            return True
+        return False
+
+
+def sample_lod(rng: np.random.Generator, uniform: bool, max_mip: int) -> int:
+    """LOD draw (image_compression.py:29-34): uniform over [0, max_mip] or
+    exponential floor(-log2(U)/2) clamped."""
+    if uniform:
+        return int(rng.integers(0, max_mip + 1))
+    lod = int(math.floor(-math.log2(rng.random()) / 2))
+    return min(lod, max_mip)
+
+
+@dataclass
+class NTCState:
+    fp: tuple
+    mlp: dict
+    opt_fp: object
+    opt_mlp: object
+    step: int = 0
+    frozen: bool = False
+
+
+class NTCTrainer:
+    def __init__(self, cfg: CompressionConfig, images, *, mesh=None):
+        """images: list indexed by mip level of [3, s, s] (2D) or
+        [3, s, s, s] (3D) float arrays in [0, 1]."""
+        self.cfg = cfg
+        self.dtype = cfg.compute_dtype()
+        self.ndim = cfg.fp_dimension
+        self.max_mip = cfg.effective_max_mip_level
+        self.mesh = mesh
+        self.images = [jnp.asarray(im, self.dtype) for im in images]
+
+        key = jax.random.PRNGKey(cfg.seed)
+        k_fp, k_mlp, self._key = jax.random.split(key, 3)
+        fp, self.levels = fp_lib.create_pyramid(
+            k_fp,
+            cfg.feature_pyramid_size,
+            cfg.feature_pyramid_channels,
+            cfg.fp_bits,
+            ndim=self.ndim,
+            dtype=self.dtype,
+            no_mip=cfg.tf_no_mip,
+        )
+        mlp = init_mlp(
+            k_mlp, cfg.decoder_input_channels, cfg.hidden_layer_channels, 3, self.dtype
+        )
+        self.mip_to_level = fp_lib.pyramid_mip_levels(
+            cfg.image_size, cfg.feature_pyramid_size, cfg.tf_no_mip
+        )
+
+        # two optax chains = the reference's two param groups
+        # (image_compression.py:361-365) + CosineAnnealingLR(T_max=epochs)
+        self._tx_fp = optax.adam(
+            optax.cosine_decay_schedule(0.01, cfg.num_epochs, alpha=0.0)
+        )
+        self._tx_mlp = optax.adam(
+            optax.cosine_decay_schedule(0.005, cfg.num_epochs, alpha=0.0)
+        )
+        self.state = NTCState(
+            fp=fp,
+            mlp=mlp,
+            opt_fp=self._tx_fp.init(fp),
+            opt_mlp=self._tx_mlp.init(mlp),
+        )
+        self._step_fns: dict = {}
+        self._decode_fns: dict = {}
+        self._lod_rng = np.random.default_rng(cfg.seed + 1)
+        self._uniform_gate = UniformLodSchedule(cfg.uniform_distribution_rate)
+
+    # ------------------------------------------------------------------
+    # sampling geometry (static per lod)
+    # ------------------------------------------------------------------
+
+    def _geometry(self, lod: int):
+        fl = self.mip_to_level[lod]
+        n = max(1, self.cfg.crop_size // (2**lod))
+        step = 2.0 ** (lod - (fl + 1) * 2)
+        return fl, n, step
+
+    def _sparse_g0(self) -> bool:
+        return self.cfg.compression_method == 4
+
+    def _use_tri_pe(self) -> bool:
+        # method 4 hardcodes sinusoidal PE (fp_def.py:208); otherwise the
+        # TF_USE_TRI_PE flag decides (2D) / triangular is used (3D method 3)
+        if self._sparse_g0():
+            return False
+        if self.ndim == 3:
+            return True
+        return self.cfg.tf_use_tri_pe
+
+    # ------------------------------------------------------------------
+    # jitted train step, specialized per (lod, frozen-phase)
+    # ------------------------------------------------------------------
+
+    def _build_step(self, lod: int, frozen: bool):
+        cfg = self.cfg
+        fl, n, step = self._geometry(lod)
+        ndim = self.ndim
+        dataset = self.images[lod if lod < len(self.images) else -1]
+        data_size = dataset.shape[1]
+        num_crops = cfg.num_crops
+        sparse_g0 = self._sparse_g0()
+        use_tri_pe = self._use_tri_pe()
+        dtype = self.dtype
+
+        def batch_forward(fp, mlp, origins, noise_key):
+            def one(origin):
+                return decoder_input(
+                    fp, fl, origin, step, n,
+                    pe_channels=cfg.pe_channels, mip_level=lod, ndim=ndim,
+                    use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
+                )
+
+            x = jax.vmap(one)(origins).reshape(num_crops * n**ndim, -1)
+            if not frozen:
+                x = x + qat_noise(noise_key, x.shape, cfg.fp_bits, dtype)
+            return apply_mlp(mlp, x)
+
+        def targets_of(origins):
+            def one(origin):
+                sizes = (3,) + (n,) * ndim
+                start = (jnp.zeros((), jnp.int32),) + tuple(origin)
+                return jax.lax.dynamic_slice(dataset, start, sizes)
+
+            t = jax.vmap(one)(origins)  # [B, 3, n, ...]
+            return jnp.moveaxis(t, 1, -1).reshape(-1, 3)
+
+        def loss_fn(fp, mlp, origins, noise_key):
+            out = batch_forward(fp, mlp, origins, noise_key)
+            tgt = targets_of(origins)
+            return jnp.mean((out - tgt) ** 2), (out, tgt)
+
+        tx_fp, tx_mlp = self._tx_fp, self._tx_mlp
+
+        def train_step(fp, mlp, opt_fp, opt_mlp, key):
+            k_crop, k_noise = jax.random.split(key)
+            origins = jax.random.randint(
+                k_crop, (num_crops, ndim), 0, data_size - n + 1
+            )
+            if frozen:
+                (loss, (out, tgt)), g_mlp = jax.value_and_grad(
+                    lambda m: loss_fn(fp, m, origins, k_noise), has_aux=True
+                )(mlp)
+                upd, opt_mlp = tx_mlp.update(g_mlp, opt_mlp, mlp)
+                mlp = optax.apply_updates(mlp, upd)
+            else:
+                (loss, (out, tgt)), (g_fp, g_mlp) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(fp, mlp, origins, k_noise)
+                upd_fp, opt_fp = tx_fp.update(g_fp, opt_fp, fp)
+                fp = optax.apply_updates(fp, upd_fp)
+                upd_mlp, opt_mlp = tx_mlp.update(g_mlp, opt_mlp, mlp)
+                mlp = optax.apply_updates(mlp, upd_mlp)
+                fp = fp_lib.pyramid_clamp(fp, fl, cfg.fp_bits)
+            step_psnr = psnr(
+                quantize_to_bit(out, cfg.output_bits),
+                quantize_to_bit(tgt, cfg.output_bits),
+            )
+            return fp, mlp, opt_fp, opt_mlp, loss, step_psnr
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+    def _step_fn(self, lod: int, frozen: bool):
+        key = (lod, frozen)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step(lod, frozen)
+        return self._step_fns[key]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def freeze_and_quantize(self) -> None:
+        """End-of-QAT transition (image_compression.py:227-231)."""
+        self.state.fp = fp_lib.pyramid_quantize_all(self.state.fp, self.cfg.fp_bits)
+        self.state.frozen = True
+
+    def train_step(self):
+        """One epoch: host LOD draw → jitted device step. Returns
+        (loss, step_psnr, lod) as device scalars + python int."""
+        s = self.state
+        cfg = self.cfg
+        if not s.frozen and s.step > cfg.num_epochs * 0.95:
+            self.freeze_and_quantize()
+        lod = sample_lod(self._lod_rng, self._uniform_gate(), self.max_mip)
+        self._key, sub = jax.random.split(self._key)
+        fn = self._step_fn(lod, s.frozen)
+        s.fp, s.mlp, s.opt_fp, s.opt_mlp, loss, step_psnr = fn(
+            s.fp, s.mlp, s.opt_fp, s.opt_mlp, sub
+        )
+        s.step += 1
+        return loss, step_psnr, lod
+
+    # ------------------------------------------------------------------
+    # tiled full-image decode (image_compression.py:307-346 semantics)
+    # ------------------------------------------------------------------
+
+    def _build_decode(self, mip: int, div_size: int):
+        cfg = self.cfg
+        fl = self.mip_to_level[mip]
+        step = 2.0 ** (mip - (fl + 1) * 2)
+        ndim = self.ndim
+        decode_size = cfg.image_size // (2**mip)
+        power = self.max_mip - mip
+        div_slice = 2 ** max(power - div_size, 0)
+        n = decode_size // div_slice  # per-tile sample count
+        sparse_g0 = self._sparse_g0()
+        use_tri_pe = self._use_tri_pe()
+        dtype = self.dtype
+
+        def tile(fp, mlp, origin):
+            x = decoder_input(
+                fp, fl, origin, step, n,
+                pe_channels=cfg.pe_channels, mip_level=mip, ndim=ndim,
+                use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
+            )
+            return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
+
+        if div_slice == 1:
+            def decode(fp, mlp):
+                return tile(fp, mlp, jnp.zeros((ndim,), jnp.int32))
+        else:
+            # tile origins on a regular lattice; vmap over all tiles then
+            # stitch by reshape/transpose (2D only — 3D assets are small
+            # enough to decode in one tile at every mip)
+            assert ndim == 2, "tiled decode is 2D; 3D decodes in one tile"
+            ij = jnp.stack(
+                jnp.meshgrid(jnp.arange(div_slice), jnp.arange(div_slice),
+                             indexing="ij"),
+                axis=-1,
+            ).reshape(-1, 2)
+            origins = ij * n
+
+            def decode(fp, mlp):
+                tiles = jax.vmap(lambda o: tile(fp, mlp, o))(origins)
+                t = tiles.reshape(div_slice, div_slice, n, n, 3)
+                return t.transpose(0, 2, 1, 3, 4).reshape(decode_size, decode_size, 3)
+
+        return jax.jit(decode)
+
+    def decode(self, mip: int, div_size: int = 10, quantized: bool = True):
+        """Decode the full asset at ``mip`` from (optionally) hard-quantized
+        grids. Returns [s, s(, s), 3] in [0, 1]."""
+        key = (mip, div_size)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = self._build_decode(mip, div_size)
+        fp = self.state.fp
+        if quantized and not self.state.frozen:
+            fp = fp_lib.pyramid_quantize_all(fp, self.cfg.fp_bits)
+        return self._decode_fns[key](fp, self.state.mlp)

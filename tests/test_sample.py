@@ -1,0 +1,148 @@
+"""Golden parity tests for nic.grids.sample vs the reference's gather+interp
+math (fp_def.py:81-223, image_compression.py:71-211), via the NumPy oracle.
+
+Convention note: nic grids index (coord0, coord1[, coord2]) on axes 1..;
+the reference gathers fp[:, y, x] / fp[:, z, y, x] — so oracle grids are
+transposed on the spatial axes before being handed to nic.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nic.grids import sample
+import reference_oracle as oracle
+
+
+def _mk_pyramid_2d(rng, base, channels, levels):
+    fp = []
+    for i in range(levels * 2):
+        s = base // (2**i)
+        fp.append(rng.uniform(-0.4, 0.5, size=(channels, s + 1, s + 1)))
+    return fp
+
+
+def _mk_pyramid_3d(rng, base, channels, levels):
+    fp = []
+    for i in range(levels * 2):
+        s = base // (2**i)
+        fp.append(rng.uniform(-0.4, 0.5, size=(channels, s + 1, s + 1, s + 1)))
+    return fp
+
+
+def _nic_fp_2d(fp):
+    return tuple(jnp.asarray(g.transpose(0, 2, 1), jnp.float64) for g in fp)
+
+
+def _nic_fp_3d(fp):
+    return tuple(jnp.asarray(g.transpose(0, 3, 2, 1), jnp.float64) for g in fp)
+
+
+# step values that occur in practice: 2^(mip - (fl+1)*2) ∈ {0.25, 0.5, 1, 2, 4}
+@pytest.mark.parametrize(
+    "fl,step,n,origin",
+    [
+        (0, 0.25, 8, (0, 0)),
+        (0, 0.25, 4, (3, 5)),
+        (0, 0.5, 4, (2, 7)),
+        (0, 1.0, 4, (1, 2)),
+        (0, 2.0, 3, (0, 1)),  # the unweighted-sum quirk (step == 2)
+        (1, 0.25, 4, (2, 1)),
+        (1, 4.0, 2, (0, 0)),
+    ],
+)
+@pytest.mark.parametrize("use_tri_pe", [True, False])
+def test_decoder_input_2d_matches_oracle(fl, step, n, origin, use_tri_pe):
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(42)
+        base = 64
+        fp = _mk_pyramid_2d(rng, base, channels=3, levels=2)
+        want = oracle.create_g0_g1_2d(
+            fp, fl, origin[0], origin[1], step, n, pe_channels=6, use_tri_pe=use_tri_pe
+        )
+        got = sample.decoder_input(
+            _nic_fp_2d(fp),
+            fl,
+            jnp.asarray(origin),
+            step,
+            n,
+            pe_channels=6,
+            mip_level=3,
+            ndim=2,
+            use_tri_pe=use_tri_pe,
+            dtype=jnp.float64,
+        )
+        got = np.asarray(got)
+        assert got.shape == (n * n, 3 * 5 + 6 * 2 + 1)
+        np.testing.assert_allclose(got[:, -1], 3.0)  # lod plane
+        np.testing.assert_allclose(got[:, :-1], want, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize(
+    "fl,step,n,origin,sparse",
+    [
+        (0, 0.25, 3, (0, 1, 2), False),
+        (0, 1.0, 2, (1, 0, 3), False),
+        (0, 2.0, 2, (0, 1, 0), False),  # quirk in 3D
+        (0, 0.25, 3, (2, 0, 1), True),  # method 4: sparse G0 + sinusoidal PE
+        (1, 0.25, 2, (1, 1, 1), True),
+    ],
+)
+def test_decoder_input_3d_matches_oracle(fl, step, n, origin, sparse):
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(7)
+        base = 16
+        fp = _mk_pyramid_3d(rng, base, channels=2, levels=2)
+        want = oracle.create_g0_g1_3d(
+            fp, fl, origin, step, n, pe_channels=4, sparse_g0=sparse
+        )
+        got = sample.decoder_input(
+            _nic_fp_3d(fp),
+            fl,
+            jnp.asarray(origin),
+            step,
+            n,
+            pe_channels=4,
+            mip_level=1,
+            ndim=3,
+            use_tri_pe=not sparse,  # method 4 hardcodes sinusoidal PE
+            sparse_g0=sparse,
+            dtype=jnp.float64,
+        )
+        got = np.asarray(got)
+        g0_corners = 4 if sparse else 8
+        assert got.shape == (n**3, 2 * (g0_corners + 1) + 4 * 3 + 1)
+        np.testing.assert_allclose(got[:, :-1], want, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_decoder_input_jit_vmap_grad():
+    """The sampler must compose with jit / vmap-over-crops / grad-to-grids."""
+    fp_np = _mk_pyramid_2d(np.random.default_rng(0), 64, 4, 2)
+    fp = tuple(jnp.asarray(g, jnp.float32) for g in fp_np)
+    origins = jnp.asarray([[0, 0], [3, 1], [5, 5]])
+
+    def batch_input(fp, origins):
+        f = lambda o: sample.decoder_input(
+            fp, 0, o, 0.25, 4, pe_channels=6, mip_level=0, ndim=2
+        )
+        return jax.vmap(f)(origins)
+
+    out = jax.jit(batch_input)(fp, origins)
+    assert out.shape == (3, 16, 4 * 5 + 12 + 1)
+
+    def loss(fp):
+        return jnp.sum(batch_input(fp, origins) ** 2)
+
+    grads = jax.grad(loss)(fp)
+    # G0/G1 of level 0 receive gradient; level 1 stays zero
+    assert float(jnp.abs(grads[0]).max()) > 0
+    assert float(jnp.abs(grads[1]).max()) > 0
+    assert float(jnp.abs(grads[2]).max()) == 0
+    assert float(jnp.abs(grads[3]).max()) == 0
