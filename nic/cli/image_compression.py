@@ -1,0 +1,182 @@
+"""Flagship NTC/LUT compression workload.
+
+Mirrors the reference's ``Projects/image_compression.py`` flow
+(21K1113/Neural_Image_Compression_V2) end-to-end: config echo → asset load
+(image mips / video volume / npy LUT, method-2 3D→2D flattening) → QAT
+training with TensorBoard scalars and periodic full-decode PSNR → packed
+artifact save (single .npz instead of model/ + feature_pyramid/ dirs) →
+per-mip decode + PNG/AVI export → PSNR report (both the reference's
+256-max convention and the standard 255 one) + bpp.
+
+Run: ``python -m nic.cli.image_compression [KEY=VALUE ...]`` with the
+reference's UPPERCASE keys (var2.py whitelist).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import numpy as np
+
+from nic.config import CompressionConfig, config_echo, parse_overrides
+from nic.core.metrics import psnr, average_psnr
+from nic.core.quant import quantize_to_bit
+from nic.data import assets
+from nic.grids.pyramid import pyramid_bits
+from nic.io.artifacts import load_compressed, save_compressed
+from nic.models.mlp import mlp_param_bits
+from nic.obs.log import RunLog, ScalarWriter, log_safe_statistics, make_filename_by_seq
+
+
+def load_asset(cfg: CompressionConfig):
+    """images list per mip (image_compression.py:429-477 semantics)."""
+    if cfg.image_dimension == 2:
+        if cfg.compression_method != 1:
+            raise ValueError("COMPRESSION_METHOD must be 1 for 2d image")
+        return assets.load_image_mips(
+            cfg.image_path, cfg.image_size, cfg.effective_max_mip_level
+        )
+    # 3D input
+    if cfg.compression_method == 1:
+        raise ValueError("COMPRESSION_METHOD must not be 1 for 3d image")
+    volume = assets.load_volume(cfg.image_path, cfg.image_bits)  # [T,H,W,3] codes
+    if cfg.compression_method == 2:
+        sheet = assets.flatten_3d_to_2d(volume.astype(np.uint8), cfg.image_size)
+        from PIL import Image
+
+        img = Image.fromarray(sheet, "RGB")
+        mips = []
+        for i in range(cfg.effective_max_mip_level + 1):
+            s = cfg.image_size // (2**i)
+            arr = np.asarray(img.resize((s, s), Image.BILINEAR), np.float32) / 255.0
+            mips.append(arr.transpose(2, 0, 1))
+        return mips
+    # methods 3/4: [3, T, H, W] in [0,1); the reference divides by 2^bits
+    # (image_compression.py:475) and reuses the full-res volume at every mip
+    vol = volume.transpose(3, 0, 1, 2).astype(np.float32) / (2.0**cfg.image_bits)
+    return [vol] * (cfg.effective_max_mip_level + 1)
+
+
+def run(argv=None) -> dict:
+    cfg = parse_overrides(argv if argv is not None else sys.argv[1:])
+    out = lambda *parts: os.path.join(cfg.output_root, *parts)
+    log = RunLog(make_filename_by_seq(out("printlog"), f"{cfg.save_name}.txt"))
+    log(datetime.datetime.now())
+    for line in config_echo(cfg):
+        log(line)
+
+    writer = ScalarWriter(
+        out("log", cfg.save_name) if (cfg.tf_write_time or cfg.tf_write_psnr) else None,
+        out("log", f"{cfg.save_name}_scalars.csv"),
+    )
+    images = load_asset(cfg)
+    artifact = out("artifacts", f"{cfg.save_name}.npz")
+
+    from nic.train.ntc import NTCTrainer
+
+    trainer = NTCTrainer(cfg, images)
+    for g in trainer.state.fp:
+        log_safe_statistics(g, log)
+
+    import time
+
+    if cfg.tf_train_model:
+        with log.span("train time"):
+            for epoch in range(cfg.num_epochs):
+                t0 = time.perf_counter()
+                loss, step_psnr, lod = trainer.train_step()
+                elapsed = time.perf_counter() - t0
+                step = epoch + 1
+                writer.add_scalar("Loss/train_epoch_label", float(loss), step)
+                if cfg.tf_write_time:
+                    writer.add_scalar("Time/epoch_label", elapsed, step)
+                if cfg.tf_write_psnr:
+                    writer.add_scalar("PSNR/epoch", float(step_psnr), step)
+                if step % cfg.interval_print == 0:
+                    if cfg.tf_print_psnr:
+                        rec = trainer.decode(0)
+                        tgt = np.moveaxis(np.asarray(images[0]), 0, -1)
+                        full_psnr = float(
+                            psnr(
+                                np.asarray(quantize_to_bit(rec, cfg.output_bits)),
+                                np.asarray(
+                                    quantize_to_bit(tgt, cfg.output_bits)
+                                ),
+                            )
+                        )
+                        writer.add_scalar("PSNR/mip0", full_psnr, step)
+                        log(
+                            f"Epoch [{step}/{cfg.num_epochs}], "
+                            f"Loss: {float(loss):.4f} PSNR: {full_psnr:.4f}"
+                        )
+                    elif cfg.tf_print_log:
+                        log(f"Epoch [{step}/{cfg.num_epochs}], Loss: {float(loss):.4f}")
+                if step % cfg.interval_save_model == 0:
+                    save_compressed(
+                        out("artifacts", f"{cfg.save_name}_{epoch}.npz"),
+                        trainer.state.mlp, trainer.state.fp, cfg.fp_bits,
+                        {"save_name": cfg.save_name, "epoch": epoch},
+                    )
+        for g in trainer.state.fp:
+            log_safe_statistics(g, log)
+        trainer.freeze_and_quantize()
+        payload_bits = save_compressed(
+            artifact, trainer.state.mlp, trainer.state.fp, cfg.fp_bits,
+            {"save_name": cfg.save_name},
+        )
+    else:
+        import dataclasses
+
+        mlp, fp, _ = load_compressed(artifact, trainer.dtype)
+        trainer.state = dataclasses.replace(
+            trainer.state, mlp=mlp, fp=fp, frozen=True
+        )
+        payload_bits = pyramid_bits(fp, cfg.fp_bits) + mlp_param_bits(mlp)
+
+    # per-mip decode + export + PSNR (image_compression.py:398-427, 482-489)
+    results = {"psnr": [], "psnr_255": [], "bpp": None}
+    reconstructed = []
+    for mip in range(cfg.effective_max_mip_level + 1):
+        with log.span("decode time"):
+            rec = np.asarray(trainer.decode(mip))
+        rec_codes = np.asarray(quantize_to_bit(rec, cfg.output_bits)).astype(np.uint8)
+        reconstructed.append(rec_codes)
+        if cfg.image_dimension == 2:
+            assets.save_png(
+                rec_codes,
+                make_filename_by_seq(out("image", cfg.save_name), f"{cfg.save_name}_{mip}.png"),
+            )
+        orig = np.moveaxis(np.asarray(images[mip]), 0, -1).astype(np.float32) * 255.0
+        p_ref = float(psnr(orig, rec_codes.astype(np.float32)))
+        p_255 = float(psnr(orig, rec_codes.astype(np.float32), max_value=255.0))
+        results["psnr"].append(p_ref)
+        results["psnr_255"].append(p_255)
+        log(f"psnr: {p_ref}")
+
+    if cfg.compression_method == 2:
+        movie = assets.unflatten_2d_to_3d(reconstructed[0], cfg.image_3d_size,
+                                          cfg.image_3d_size)
+        assets.write_timelaps(
+            movie,
+            make_filename_by_seq(out("image", cfg.save_name), f"{cfg.save_name}_0.avi"),
+        )
+    elif cfg.compression_method in (3, 4):
+        assets.write_timelaps(
+            reconstructed[0],
+            make_filename_by_seq(out("image", cfg.save_name), f"{cfg.save_name}_0.avi"),
+        )
+        orig_vol = np.moveaxis(np.asarray(images[0]), 0, -1) * 255.0
+        log(f"average psnr: {float(average_psnr(orig_vol, reconstructed[0].astype(np.float32)))}")
+
+    num_pixels = np.asarray(images[0]).size // 3
+    results["bpp"] = payload_bits / num_pixels
+    log(f"bpp: {results['bpp']}")
+    writer.close()
+    log(datetime.datetime.now())
+    return results
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,31 @@
+"""Production-ized frame-flattened video compression (reference
+``Projects/movie_2d_comp.py``): same tiling as movie_frame_comp but with
+TensorBoard scalars, periodic checkpoints, and resume flags. The
+reference's final-5% phase crashes on an undefined ``quantize_norm``
+(movie_2d_comp.py:81,114 — SURVEY.md §2.4 item 1); here QAT quantization
+is nic.core.quant.quantize by construction.
+
+Run: ``python -m nic.cli.movie_2d_comp --image_path data/misty_64_64.avi``."""
+
+import sys
+
+from nic.cli import movie_frame_comp
+
+PROJECT = "movie_2d"
+
+
+def run(argv=None) -> float:
+    # same pipeline; distinct project name, reference-default 3.2M epochs
+    parser_defaults = ["--num_epochs", "3200000"]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    if not any(a.startswith("--num_epochs") for a in argv):
+        argv = parser_defaults + argv
+    movie_frame_comp.PROJECT = PROJECT
+    try:
+        return movie_frame_comp.run(argv)
+    finally:
+        movie_frame_comp.PROJECT = "movie_frame"
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

@@ -43,6 +43,7 @@ from nic.core.quant import qat_noise, quantize_to_bit
 from nic.grids import pyramid as fp_lib
 from nic.grids.sample import decoder_input
 from nic.models.mlp import apply_mlp, init_mlp
+from nic.parallel.mesh import data_pixel_spec, replicate, shard_batch
 
 __all__ = ["NTCState", "NTCTrainer", "sample_lod", "UniformLodSchedule"]
 
@@ -119,6 +120,10 @@ class NTCTrainer:
         self._tx_mlp = optax.adam(
             optax.cosine_decay_schedule(0.005, cfg.num_epochs, alpha=0.0)
         )
+        if mesh is not None:
+            fp = replicate(fp, mesh)
+            mlp = replicate(mlp, mesh)
+            self.images = [replicate(im, mesh) for im in self.images]
         self.state = NTCState(
             fp=fp,
             mlp=mlp,
@@ -167,6 +172,8 @@ class NTCTrainer:
         use_tri_pe = self._use_tri_pe()
         dtype = self.dtype
 
+        mesh = self.mesh
+
         def batch_forward(fp, mlp, origins, noise_key):
             def one(origin):
                 return decoder_input(
@@ -175,7 +182,11 @@ class NTCTrainer:
                     use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
                 )
 
-            x = jax.vmap(one)(origins).reshape(num_crops * n**ndim, -1)
+            x = jax.vmap(one)(origins)  # [crops, n^ndim, F]
+            # data parallel over crops + pixel ("sequence") parallel inside
+            # a crop; the partitioner psums grid/MLP grads over the mesh
+            x = shard_batch(x, mesh, data_pixel_spec(1))
+            x = x.reshape(num_crops * n**ndim, -1)
             if not frozen:
                 x = x + qat_noise(noise_key, x.shape, cfg.fp_bits, dtype)
             return apply_mlp(mlp, x)
@@ -187,7 +198,9 @@ class NTCTrainer:
                 return jax.lax.dynamic_slice(dataset, start, sizes)
 
             t = jax.vmap(one)(origins)  # [B, 3, n, ...]
-            return jnp.moveaxis(t, 1, -1).reshape(-1, 3)
+            t = jnp.moveaxis(t, 1, -1).reshape(num_crops, n**ndim, 3)
+            t = shard_batch(t, mesh, data_pixel_spec(1))
+            return t.reshape(-1, 3)
 
         def loss_fn(fp, mlp, origins, noise_key):
             out = batch_forward(fp, mlp, origins, noise_key)

@@ -1,0 +1,99 @@
+"""Smoke + parity-shape tests for the conv-AE and pixel trainers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nic.core.metrics import psnr
+from nic.train.conv_ae import ConvAETrainer
+from nic.train.pixel import PixelTrainer, pixel_patch_features
+
+
+def _toy_image(size):
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    return np.clip(
+        np.stack([np.sin(8 * x) * 0.5 + 0.5, y, (x * y) ** 0.5], axis=-1), 0, 1
+    )
+
+
+def test_conv_ae_2d_latent_shape_and_overfit():
+    img = _toy_image(32)
+    tr = ConvAETrainer(img, num_bits=4, num_epochs=200, seed=0)
+    z = tr.encode()
+    assert z.shape == (1, 8, 8, 8)  # [B, H/4, W/4, C]
+    assert z.dtype == np.uint8 and z.max() <= 15  # 4-bit codes
+    l0 = float(tr.train_step())
+    for _ in range(199):
+        loss = tr.train_step()
+    assert float(loss) < l0
+    rec = tr.reconstruct()
+    assert rec.shape == (32, 32, 3)
+    assert float(psnr(rec * 255, img * 255, max_value=255.0)) > 12.0
+
+
+def test_conv_ae_3d_shapes():
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    tr = ConvAETrainer(vol, num_bits=8, latent_channels=16,
+                       hidden_channels=32, num_epochs=50, seed=1)
+    z = tr.encode()
+    assert z.shape == (1, 2, 4, 4, 16)  # [B, T/4, H/4, W/4, C]
+    for _ in range(10):
+        tr.train_step()
+    rec = tr.reconstruct()
+    assert rec.shape == (8, 16, 16, 3)
+
+
+def test_qat_phase_switch():
+    img = _toy_image(16)
+    tr = ConvAETrainer(img, num_bits=4, num_epochs=20, seed=0)
+    for _ in range(20):
+        tr.train_step()
+    assert tr.step == 20  # 19 ≥ 0.95*20 → last step ran the quantize phase
+
+
+def test_pixel_latent_lattice_shape():
+    """pixel_comp's padding=2 first conv yields an (S/4 + 1)² corner
+    lattice (pixel_comp.py:39 → latent 129² at S=512; here 9² at S=32)."""
+    img = _toy_image(32)
+    tr = PixelTrainer(img, num_epochs=100, batch_pixels=64, seed=0)
+    z = tr.encode()
+    assert z.shape == (9, 9, 8)
+
+
+def test_pixel_patch_features_matches_loop():
+    rng = np.random.default_rng(0)
+    latent = jnp.asarray(rng.uniform(0, 1, (9, 9, 4)).astype(np.float32))
+    s = 32
+    feats = np.asarray(pixel_patch_features(latent, s))
+    assert feats.shape == (s, s, 16)
+    # reference loop semantics: flatten(latent[:, ex:ex+2, ey:ey+2])
+    # channel-major (pixel_comp.py:163-164)
+    lat = np.asarray(latent)
+    for x, y in [(0, 0), (5, 17), (31, 31), (13, 2)]:
+        ex, ey = x // 4, y // 4
+        want = lat[ex : ex + 2, ey : ey + 2, :].transpose(2, 0, 1).reshape(-1)
+        np.testing.assert_allclose(feats[x, y], want, atol=1e-6)
+
+
+def test_pixel_overfit_and_vectorized_decode():
+    img = _toy_image(32)
+    tr = PixelTrainer(img, num_epochs=300, batch_pixels=256, seed=0)
+    l0 = float(tr.train_step())
+    for _ in range(299):
+        loss = tr.train_step()
+    assert float(loss) < l0
+    rec = tr.reconstruct()
+    assert rec.shape == (32, 32, 3)
+    assert float(psnr(rec * 255, img * 255, max_value=255.0)) > 10.0
+
+
+def test_pixel_pos_pe_variant():
+    img = _toy_image(32)
+    tr = PixelTrainer(img, num_epochs=50, batch_pixels=64, use_pe=True,
+                      pe_channels=4, seed=0)
+    for _ in range(10):
+        tr.train_step()
+    rec = tr.reconstruct()
+    assert rec.shape == (32, 32, 3)
+    assert np.all(np.isfinite(rec))

@@ -1,0 +1,73 @@
+"""Fused Pallas decode kernel vs the XLA reference path (interpret mode on
+CPU; the real-TPU numbers come from bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+from nic.grids.sample import decoder_input
+from nic.kernels.decode_fused import decode_image_fused
+from nic.models.mlp import apply_mlp, init_mlp
+
+
+def _xla_decode(fp, mlp, mip, image_size, mip_to_level, pe_channels, use_tri_pe):
+    fl = mip_to_level[mip]
+    step = 2.0 ** (mip - (fl + 1) * 2)
+    n = image_size // (2**mip)
+    x = decoder_input(
+        fp, fl, jnp.zeros((2,), jnp.int32), step, n,
+        pe_channels=pe_channels, mip_level=mip, ndim=2, use_tri_pe=use_tri_pe,
+    )
+    return apply_mlp(mlp, x).reshape(n, n, 3)
+
+
+@pytest.mark.parametrize("use_tri_pe", [True, False])
+@pytest.mark.parametrize("mip", [0, 1, 2, 3, 4])
+def test_fused_matches_xla_across_mips(mip, use_tri_pe):
+    """Covers e = mip - (fl+1)*2 ∈ {-2, -1, 0, 1 (quirk), 0 (fl=1)}."""
+    image_size = 64
+    base = image_size // 4  # 16 → 2 pyramid levels
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    fp, levels = create_pyramid(k1, base, channels=4, num_bits=8, ndim=2)
+    assert levels == 2
+    mip_to_level = pyramid_mip_levels(image_size, base)
+    pe = 4
+    mlp = init_mlp(k2, 4 * 5 + pe * 2 + 1, 16, 3)
+
+    want = np.asarray(
+        _xla_decode(fp, mlp, mip, image_size, mip_to_level, pe, use_tri_pe)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused(
+                fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
+                pe_channels=pe, use_tri_pe=use_tri_pe,
+            )
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_multiblock_grid():
+    """decode_size larger than one row-block → multiple kernel programs."""
+    image_size = 128
+    base = 32
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    fp, _ = create_pyramid(k1, base, channels=4, num_bits=8, ndim=2, no_mip=True)
+    mip_to_level = pyramid_mip_levels(image_size, base, no_mip=True)
+    pe = 6
+    mlp = init_mlp(k2, 4 * 5 + pe * 2 + 1, 16, 3)
+    want = np.asarray(_xla_decode(fp, mlp, 0, image_size, mip_to_level, pe, True))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused(
+                fp, mlp, 0, image_size=image_size, mip_to_level=mip_to_level,
+                pe_channels=pe, use_tri_pe=True,
+            )
+        )
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -1,0 +1,70 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(the TPU-world substitute for fake-cluster fixtures — SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import pytest
+
+from nic.config import CompressionConfig
+from nic.parallel.mesh import make_mesh
+from nic.train.ntc import NTCTrainer
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _toy_image(size):
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    return np.clip(np.stack([x, y, x * y], axis=0), 0, 1)
+
+
+def _cfg(num_crops):
+    return CompressionConfig(
+        image_size=32, crop_mip_level=4, num_crops=num_crops, num_epochs=40,
+        fp_bits=4, feature_pyramid_channels=4, pe_channels=4,
+        hidden_layer_channels=16, tf_no_mip=True, seed=0,
+    )
+
+
+@requires_8
+def test_dp_mesh_train_step_matches_single_device():
+    """Sharded training must compute the same update as unsharded (same
+    PRNG keys → same crops → grads psum to the same replicated result)."""
+    img = _toy_image(32)
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_sharded = NTCTrainer(_cfg(8), [img], mesh=mesh)
+        for _ in range(3):
+            loss_s, _, _ = tr_sharded.train_step()
+    tr_single = NTCTrainer(_cfg(8), [img])
+    for _ in range(3):
+        loss_1, _, _ = tr_single.train_step()
+    assert abs(float(loss_s) - float(loss_1)) < 1e-5
+    for a, b in zip(tr_sharded.state.fp, tr_single.state.fp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@requires_8
+def test_2d_mesh_data_x_pixel():
+    img = _toy_image(32)
+    mesh = make_mesh(8, data_axis=4)  # (data=4, pixel=2)
+    with mesh:
+        tr = NTCTrainer(_cfg(4), [img], mesh=mesh)
+        for _ in range(4):
+            loss, _, _ = tr.train_step()
+        assert np.isfinite(float(loss))
+        rec = np.asarray(tr.decode(0))
+    assert rec.shape == (32, 32, 3)
+
+
+def test_graft_entry():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (64, 64, 3)
+    ge.dryrun_multichip(min(8, len(jax.devices())))
