@@ -84,16 +84,25 @@ def run(argv=None) -> dict:
 
     if cfg.tf_train_model:
         with log.span("train time"):
-            for epoch in range(cfg.num_epochs):
+            # chunked compiled training: one device dispatch per
+            # interval_print block (lax.scan) instead of per epoch
+            while trainer.state.step < cfg.num_epochs:
+                start = trainer.state.step
+                n = min(cfg.interval_print - start % cfg.interval_print,
+                        cfg.num_epochs - start)
+                next_save = ((start // cfg.interval_save_model) + 1) * cfg.interval_save_model
+                n = min(n, next_save - start)
                 t0 = time.perf_counter()
-                loss, step_psnr, lod = trainer.train_step()
-                elapsed = time.perf_counter() - t0
-                step = epoch + 1
-                writer.add_scalar("Loss/train_epoch_label", float(loss), step)
-                if cfg.tf_write_time:
-                    writer.add_scalar("Time/epoch_label", elapsed, step)
-                if cfg.tf_write_psnr:
-                    writer.add_scalar("PSNR/epoch", float(step_psnr), step)
+                losses, psnrs = trainer.train_many(n)
+                elapsed = (time.perf_counter() - t0) / n
+                for i in range(n):
+                    step = start + i + 1
+                    writer.add_scalar("Loss/train_epoch_label", float(losses[i]), step)
+                    if cfg.tf_write_time:
+                        writer.add_scalar("Time/epoch_label", elapsed, step)
+                    if cfg.tf_write_psnr:
+                        writer.add_scalar("PSNR/epoch", float(psnrs[i]), step)
+                step = trainer.state.step
                 if step % cfg.interval_print == 0:
                     if cfg.tf_print_psnr:
                         rec = trainer.decode(0)
@@ -101,23 +110,21 @@ def run(argv=None) -> dict:
                         full_psnr = float(
                             psnr(
                                 np.asarray(quantize_to_bit(rec, cfg.output_bits)),
-                                np.asarray(
-                                    quantize_to_bit(tgt, cfg.output_bits)
-                                ),
+                                np.asarray(quantize_to_bit(tgt, cfg.output_bits)),
                             )
                         )
                         writer.add_scalar("PSNR/mip0", full_psnr, step)
                         log(
                             f"Epoch [{step}/{cfg.num_epochs}], "
-                            f"Loss: {float(loss):.4f} PSNR: {full_psnr:.4f}"
+                            f"Loss: {float(losses[-1]):.4f} PSNR: {full_psnr:.4f}"
                         )
                     elif cfg.tf_print_log:
-                        log(f"Epoch [{step}/{cfg.num_epochs}], Loss: {float(loss):.4f}")
+                        log(f"Epoch [{step}/{cfg.num_epochs}], Loss: {float(losses[-1]):.4f}")
                 if step % cfg.interval_save_model == 0:
                     save_compressed(
-                        out("artifacts", f"{cfg.save_name}_{epoch}.npz"),
+                        out("artifacts", f"{cfg.save_name}_{step - 1}.npz"),
                         trainer.state.mlp, trainer.state.fp, cfg.fp_bits,
-                        {"save_name": cfg.save_name, "epoch": epoch},
+                        {"save_name": cfg.save_name, "epoch": step - 1},
                     )
         for g in trainer.state.fp:
             log_safe_statistics(g, log)

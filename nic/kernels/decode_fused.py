@@ -73,21 +73,19 @@ def _pe_table_1d(coords, pe_channels: int, use_tri_pe: bool):
     return jnp.stack(cols, axis=-1)  # [n, pe]
 
 
-def _expand_axis0(blk, e: int, n: int, offset_cells: int):
-    """Rows of a grid window → per-pixel rows along axis 0.
-
-    blk: [cells(+1), ...]; e = log2(step). Returns [n, ...] with
-    row i ← blk[floor(i * 2^e) + offset_cells].
-    """
-    if e < 0:
-        f = 1 << (-e)
-        up = pltpu.repeat(blk, f, axis=0)
-        return jax.lax.dynamic_slice_in_dim(up, offset_cells * f, n, axis=0)
-    s = 1 << e
-    sl = jax.lax.slice_in_dim(blk, offset_cells, offset_cells + (n - 1) * s + 1, axis=0)
-    if s == 1:
-        return sl
-    return jax.lax.slice_in_dim(sl, 0, (n - 1) * s + 1, stride=s, axis=0)
+def _erepeat(x, f: int, axis: int):
+    """Element-wise repeat (a a b b…) along ``axis`` via broadcast+reshape —
+    pltpu.repeat TILES whole copies (a b a b), which is not an upsample."""
+    if f == 1:
+        return x
+    x = jnp.expand_dims(x, axis + 1)
+    shape = list(x.shape)
+    shape[axis + 1] = f
+    x = jnp.broadcast_to(x, shape)
+    out_shape = list(x.shape)
+    out_shape[axis] *= f
+    del out_shape[axis + 1]
+    return x.reshape(out_shape)
 
 
 def _frac_pattern(base: int, n: int, e: int, dtype, axis_dim: int):
@@ -118,9 +116,11 @@ def _decode_kernel(
             # row_start is a multiple of n_rows ⇒ of f
             blk = ref[pl.ds(row_start // f, rcells + 1), :, :]  # [rc+1, S, C]
             blk = jax.lax.slice_in_dim(blk, 0, ccells + 1, axis=1)
-            up = pltpu.repeat(pltpu.repeat(blk, f, axis=0), f, axis=1)
+            up = _erepeat(_erepeat(blk, f, axis=0), f, axis=1)
             def corner(du, dv):
-                t = jax.lax.dynamic_slice_in_dim(up, du * f, n_rows, axis=0)
+                # du/dv/f are static ⇒ plain slices (Mosaic has no value-level
+                # dynamic_slice; the only dynamic start is the ref read above)
+                t = jax.lax.slice_in_dim(up, du * f, du * f + n_rows, axis=0)
                 return jax.lax.slice_in_dim(t, dv * f, dv * f + n_cols, axis=1)
             return corner
         s = 1 << ee

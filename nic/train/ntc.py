@@ -161,7 +161,7 @@ class NTCTrainer:
     # jitted train step, specialized per (lod, frozen-phase)
     # ------------------------------------------------------------------
 
-    def _build_step(self, lod: int, frozen: bool):
+    def _build_step(self, lod: int, frozen: bool, jit: bool = True):
         cfg = self.cfg
         fl, n, step = self._geometry(lod)
         ndim = self.ndim
@@ -235,13 +235,80 @@ class NTCTrainer:
             )
             return fp, mlp, opt_fp, opt_mlp, loss, step_psnr
 
-        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3)) if jit else train_step
 
     def _step_fn(self, lod: int, frozen: bool):
         key = (lod, frozen)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step(lod, frozen)
         return self._step_fns[key]
+
+    def _scan_fn(self, lod: int, frozen: bool, chunk: int):
+        """Compiled multi-step loop: lax.scan over ``chunk`` train steps —
+        one host dispatch instead of ``chunk`` (the reference's Python
+        epoch loop, image_compression.py:220, re-done the XLA way). Only
+        valid while the LOD is constant (tf_no_mip) and no phase boundary
+        is crossed."""
+        key = ("scan", lod, frozen, chunk)
+        if key not in self._step_fns:
+            step = self._build_step(lod, frozen, jit=False)
+
+            def body(carry, subkey):
+                fp, mlp, opt_fp, opt_mlp = carry
+                fp, mlp, opt_fp, opt_mlp, loss, p = step(fp, mlp, opt_fp, opt_mlp, subkey)
+                return (fp, mlp, opt_fp, opt_mlp), (loss, p)
+
+            def run(fp, mlp, opt_fp, opt_mlp, key):
+                keys = jax.random.split(key, chunk)
+                carry, hist = jax.lax.scan(body, (fp, mlp, opt_fp, opt_mlp), keys)
+                return carry, hist
+
+            self._step_fns[key] = jax.jit(run, donate_argnums=(0, 1, 2, 3))
+        return self._step_fns[key]
+
+    def train_many(self, num_steps: int, chunk: int = 1000):
+        """Run ``num_steps`` epochs. When the LOD bucket is constant
+        (tf_no_mip), steps run in compiled lax.scan chunks; otherwise falls
+        back to per-step dispatch. Returns (loss_hist, psnr_hist) arrays.
+
+        Handles the 95% freeze boundary exactly like the per-step path.
+        """
+        if self.max_mip != 0:
+            losses, psnrs = [], []
+            for _ in range(num_steps):
+                loss, p, _ = self.train_step()
+                losses.append(loss)
+                psnrs.append(p)
+            return np.asarray([float(x) for x in losses]), np.asarray(
+                [float(x) for x in psnrs]
+            )
+
+        s = self.state
+        cfg = self.cfg
+        loss_hist: list = []
+        psnr_hist: list = []
+        remaining = num_steps
+        while remaining > 0:
+            # steps until the freeze boundary (first step with step > 95% —
+            # image_compression.py:227 checks before the step runs)
+            if not s.frozen:
+                boundary = int(cfg.num_epochs * 0.95) + 1 - s.step
+                if boundary <= 0:
+                    self.freeze_and_quantize()
+                    continue
+                n = min(remaining, boundary, chunk)
+            else:
+                n = min(remaining, chunk)
+            self._key, sub = jax.random.split(self._key)
+            run = self._scan_fn(0, s.frozen, n)
+            (s.fp, s.mlp, s.opt_fp, s.opt_mlp), (lh, ph) = run(
+                s.fp, s.mlp, s.opt_fp, s.opt_mlp, sub
+            )
+            s.step += n
+            remaining -= n
+            loss_hist.append(np.asarray(lh))
+            psnr_hist.append(np.asarray(ph))
+        return np.concatenate(loss_hist), np.concatenate(psnr_hist)
 
     # ------------------------------------------------------------------
     # public API

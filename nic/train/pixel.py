@@ -104,7 +104,7 @@ class PixelTrainer:
         coords = jnp.stack([xs.astype(self.dtype), ys.astype(self.dtype)])
         return sinusoidal_pe(coords, self.pe_channels).T  # [N, 2*pe]
 
-    def _build_step(self, phase: str):
+    def _build_step(self, phase: str, jit: bool = True):
         enc = self.encoder
         bits = self.num_bits
         s = self.image_size
@@ -141,7 +141,7 @@ class PixelTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(step, donate_argnums=(0, 1))
+        return jax.jit(step, donate_argnums=(0, 1)) if jit else step
 
     def train_step(self):
         phase = "noise" if self.step < self.num_epochs * 0.95 else "quantize"
@@ -151,6 +151,45 @@ class PixelTrainer:
         )
         self.step += 1
         return loss
+
+    def _scan_fn(self, phase: str, chunk: int):
+        key = ("scan", phase, chunk)
+        if key not in self._jit_step:
+            step = self._build_step(phase, jit=False)
+
+            def run(params, opt_state, image, key):
+                def body(carry, subkey):
+                    p, o = carry
+                    p, o, loss = step(p, o, image, subkey)
+                    return (p, o), loss
+
+                keys = jax.random.split(key, chunk)
+                return jax.lax.scan(body, (params, opt_state), keys)
+
+            self._jit_step[key] = jax.jit(run, donate_argnums=(0, 1))
+        return self._jit_step[key]
+
+    def train_many(self, num_steps: int, chunk: int = 1000) -> np.ndarray:
+        """Compiled lax.scan training (see ConvAETrainer.train_many)."""
+        losses = []
+        remaining = num_steps
+        boundary_total = int(np.ceil(self.num_epochs * 0.95))
+        while remaining > 0:
+            if self.step < boundary_total:
+                n = min(remaining, boundary_total - self.step, chunk)
+                phase = "noise"
+            else:
+                n = min(remaining, chunk)
+                phase = "quantize"
+            self._key, sub = jax.random.split(self._key)
+            run = self._scan_fn(phase, n)
+            (self.params, self.opt_state), lh = run(
+                self.params, self.opt_state, self.image, sub
+            )
+            self.step += n
+            remaining -= n
+            losses.append(np.asarray(lh))
+        return np.concatenate(losses)
 
     # ------------------------------------------------------------------
 
