@@ -47,6 +47,25 @@ def _tri(x, offset):
     return 2.0 * jnp.abs((x - offset) % 2.0 - 1.0) - 1.0
 
 
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7) — Mosaic has no
+    erf/erfc lowering, so the kernel carries its own (exp is supported)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact-erf GELU (torch's default, what the XLA path uses)."""
+    return 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
+
+
 def _pe_table_1d(coords, pe_channels: int, use_tri_pe: bool):
     """[n] continuous coords → [n, pe_channels] per-axis PE table.
 
@@ -181,9 +200,9 @@ def _decode_kernel(
 
     # ---- tiny MLP on the MXU (exact-erf GELU, sigmoid head) ----
     h = jnp.dot(x.astype(dtype), w1_ref[:, :], preferred_element_type=acc_dtype)
-    h = jax.nn.gelu(h + b1_ref[:, :].astype(acc_dtype), approximate=False)
+    h = _gelu_exact(h + b1_ref[:, :].astype(acc_dtype))
     h = jnp.dot(h.astype(dtype), w2_ref[:, :], preferred_element_type=acc_dtype)
-    h = jax.nn.gelu(h + b2_ref[:, :].astype(acc_dtype), approximate=False)
+    h = _gelu_exact(h + b2_ref[:, :].astype(acc_dtype))
     h = jnp.dot(h.astype(dtype), w3_ref[:, :], preferred_element_type=acc_dtype)
     rgb = jax.nn.sigmoid(h + b3_ref[:, :].astype(acc_dtype))
     out_ref[:, :, :] = rgb.reshape(rows, cols, out_ref.shape[-1]).astype(out_ref.dtype)
