@@ -176,6 +176,17 @@ def run(argv=None) -> dict:
         )
         orig_vol = np.moveaxis(np.asarray(images[0]), 0, -1) * 255.0
         log(f"average psnr: {float(average_psnr(orig_vol, reconstructed[0].astype(np.float32)))}")
+        if cfg.save_lut_csv:
+            # 3D-LUT CSV export (sample22-2/3 lineage, utils.py:97-113 layout;
+            # native writer when libnic_native.so is built)
+            from nic.native import write_lut_csv
+
+            for mip, rec in enumerate(reconstructed):
+                write_lut_csv(
+                    rec.astype(np.float32),
+                    make_filename_by_seq(out("LUT", cfg.save_name),
+                                         f"{cfg.save_name}_{mip}.csv"),
+                )
 
     num_pixels = np.asarray(images[0]).size // 3
     results["bpp"] = payload_bits / num_pixels

@@ -66,6 +66,7 @@ class CompressionConfig:
     qat_ste: bool = False            # straight-through estimator (off = reference parity)
     data_parallel: bool = False      # shard crops over a device mesh
     output_root: str = "runs"        # artifact root (reference wrote to cwd-relative dirs)
+    save_lut_csv: bool = False       # export decoded 3D LUTs as CSV (sample22-x lineage)
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -165,6 +166,7 @@ _CLI_KEYS: dict[str, str] = {
     "QAT_STE": "qat_ste",
     "DATA_PARALLEL": "data_parallel",
     "OUTPUT_ROOT": "output_root",
+    "SAVE_LUT_CSV": "save_lut_csv",
 }
 
 

@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nic.core.quant import pack_bits, unpack_bits, pack_grid, unpack_grid
+from nic.core.quant import pack_grid, unpack_grid
+
+# native (C++) bit-packing when libnic_native.so is built; numpy otherwise
+from nic.native import pack_bits, unpack_bits
 
 __all__ = [
     "save_compressed",

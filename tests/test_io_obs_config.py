@@ -1,0 +1,178 @@
+"""Unit tests: artifact/checkpoint I/O, asset helpers, logging, config."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nic.config import CompressionConfig, config_echo, parse_overrides
+from nic.data import assets
+from nic.io import artifacts
+from nic.obs.log import RunLog, ScalarWriter, make_filename_by_seq
+
+
+# ---------------- config ----------------
+
+def test_config_defaults_match_reference():
+    cfg = CompressionConfig()
+    assert cfg.decoder_input_channels == 12 * 5 + 6 * 2 + 1  # 73 (var2.py:114)
+    assert cfg.feature_pyramid_size == 128
+    assert cfg.crop_size == 256
+    assert cfg.effective_max_mip_level == 0  # TF_NO_MIP default
+
+
+def test_config_overrides_uppercase_keys():
+    cfg = parse_overrides([
+        "FP_BITS=4", "COMPRESSION_METHOD=4", "IMAGE_DIMENSION=3",
+        "TF_NO_MIP=False", "UNIFORM_DISTRIBUTION_RATE=0.1",
+        "IMAGE_PATH=data/misty_64_64.avi",
+    ])
+    assert cfg.fp_bits == 4 and cfg.compression_method == 4
+    assert cfg.image_dtype == "movie"
+    # method 4: sparse G0 → C·5 + PE·3 + 1 (var2.py:117-118)
+    assert cfg.decoder_input_channels == 12 * 5 + 6 * 3 + 1
+    assert not cfg.tf_no_mip and cfg.effective_max_mip_level == 9
+    assert cfg.uniform_distribution_rate == 0.1
+
+
+def test_config_method2_flattens_to_2d():
+    cfg = parse_overrides(["COMPRESSION_METHOD=2", "IMAGE_DIMENSION=3"])
+    assert cfg.fp_dimension == 2
+
+
+def test_config_rejects_unknown_and_bad_bool():
+    with pytest.raises(ValueError):
+        parse_overrides(["NOT_A_KEY=1"])
+    with pytest.raises(ValueError):
+        parse_overrides(["TF_NO_MIP=maybe"])
+
+
+def test_config_echo_covers_whitelist():
+    lines = config_echo(CompressionConfig())
+    assert any(l.startswith("FP_BITS :") for l in lines)
+    assert any(l.startswith("TF_USE_TRI_PE :") for l in lines)
+
+
+# ---------------- obs/log ----------------
+
+def test_make_filename_by_seq(tmp_path):
+    d = str(tmp_path / "printlog")
+    p0 = make_filename_by_seq(d, "run.txt")
+    assert p0.endswith("run_000.txt")
+    open(p0, "w").write("x")
+    p1 = make_filename_by_seq(d, "run.txt")
+    assert p1.endswith("run_001.txt")
+
+
+def test_runlog_and_span(tmp_path):
+    path = str(tmp_path / "log.txt")
+    log = RunLog(path)
+    log("hello")
+    with log.span("phase"):
+        pass
+    text = open(path).read()
+    assert "hello" in text and "phase: " in text
+
+
+def test_scalar_writer_csv(tmp_path):
+    csv_path = str(tmp_path / "scalars.csv")
+    w = ScalarWriter(None, csv_path)
+    w.add_scalar("Loss/train_epoch_label", 0.5, 1)
+    w.add_scalar("PSNR/epoch", 30.0, 1)
+    w.close()
+    text = open(csv_path).read()
+    assert "Loss/train_epoch_label,1,0.5" in text
+
+
+# ---------------- data/assets ----------------
+
+def test_image_mips(tmp_path):
+    img = (np.random.default_rng(0).uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+    p = str(tmp_path / "a.png")
+    assets.save_png(img, p)
+    mips = assets.load_image_mips(p, 64, 3)
+    assert [m.shape for m in mips] == [(3, 64, 64), (3, 32, 32), (3, 16, 16), (3, 8, 8)]
+    assert mips[0].max() <= 1.0
+
+
+def test_video_roundtrip(tmp_path):
+    movie = (np.random.default_rng(1).uniform(0, 255, (8, 16, 16, 3))).astype(np.uint8)
+    p = str(tmp_path / "v.avi")
+    assets.write_timelaps(movie, p)
+    back = assets.read_clip(p)
+    assert back.shape == (8, 16, 16, 3)  # lossy codec: shape-only check
+
+
+def test_flatten_unflatten_roundtrip():
+    vol = np.arange(16 * 8 * 8 * 3).reshape(16, 8, 8, 3).astype(np.uint8)
+    sheet = assets.flatten_3d_to_2d(vol, 32)
+    assert sheet.shape == (32, 32, 3)
+    back = assets.unflatten_2d_to_3d(sheet, 8, 16)
+    np.testing.assert_array_equal(back, vol)
+
+
+def test_save_lut_csv(tmp_path):
+    lut = np.random.default_rng(2).uniform(0, 1, (4, 4, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "lut.csv")
+    assets.save_lut_csv(lut, p)
+    lines = open(p).read().strip().splitlines()
+    assert len(lines) == 16  # size² rows
+    assert len(lines[0].rstrip(",").split(",")) == 4 * 3
+
+
+def test_asset_kind():
+    assert assets.asset_kind("x.npy") == "ndarray"
+    assert assets.asset_kind("x.AVI") == "movie"
+    assert assets.asset_kind("x.jpeg") == "image"
+    with pytest.raises(ValueError):
+        assets.asset_kind("x.txt")
+
+
+# ---------------- io/artifacts ----------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, opt = tx.update(g, opt, params)
+    params = optax.apply_updates(params, upd)
+    p = str(tmp_path / "c.ckpt.npz")
+    artifacts.save_checkpoint(p, 7, params, opt, extra={"note": "t"})
+    step, p2, o2 = artifacts.load_checkpoint(p, params, opt)
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o2), jax.tree.leaves(opt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_latent_roundtrip(tmp_path):
+    codes = np.random.default_rng(0).integers(0, 16, (1, 8, 8, 8)).astype(np.uint8)
+    p = str(tmp_path / "l.npy")
+    artifacts.save_latent(p, codes, 4)
+    z = artifacts.load_latent(p, 4)
+    np.testing.assert_allclose(np.asarray(z) * 15.0, codes, atol=1e-5)
+
+
+def test_compressed_num_bits(tmp_path):
+    from nic.grids.pyramid import create_pyramid
+    from nic.models.mlp import init_mlp, mlp_param_bits
+    from nic.grids.pyramid import pyramid_bits
+
+    fp, _ = create_pyramid(jax.random.PRNGKey(0), 16, 4, 2, ndim=2, no_mip=True)
+    mlp = init_mlp(jax.random.PRNGKey(1), 29, 16, 3)
+    p = str(tmp_path / "a.npz")
+    bits = artifacts.save_compressed(p, mlp, fp, 2, {})
+    assert bits == artifacts.compressed_num_bits(p)
+    assert bits == pyramid_bits(fp, 2) + mlp_param_bits(mlp)
+    # 2-bit packing: file grid payload is a quarter of one-byte-per-code
+    import numpy as _np
+
+    with _np.load(p) as z:
+        grid_bytes = z["grid0"].nbytes + z["grid1"].nbytes
+    assert grid_bytes <= (fp[0].size + fp[1].size) // 4 + 2
