@@ -1,0 +1,159 @@
+"""Scale-hyperprior entropy model for rate–distortion training.
+
+A north-star EXTENSION beyond the reference
+(21K1113/Neural_Image_Compression_V2 has no entropy model anywhere —
+SURVEY.md §0 discrepancy note): the reference's rate is fixed-length
+``num_bits`` quantization; this module adds the learned-rate path from
+BASELINE.json's north star — a Ballé-style scale hyperprior:
+
+    y = g_a(x)            analysis transform (strided convs)
+    z = h_a(|y|)          hyper-analysis
+    ẑ ~ factorized prior  (per-channel logistic CDF)
+    σ = h_s(ẑ)            hyper-synthesis → per-element Gaussian scales
+    ŷ ~ N(0, σ)           conditional prior
+    x̂ = g_s(ŷ)           synthesis transform
+
+Training relaxes quantization to additive uniform noise (the same trick
+the reference uses for its fixed-rate QAT, image_comp.py:88-91) and
+minimizes R + λ·255²·D. Rates are exact code lengths under the priors
+(−log2 of the noise-relaxed likelihoods); bitstream entropy coding is
+host-side future work — rate estimates are what the eval reports.
+
+All transforms are flax.linen with NHWC layouts; GELU in place of GDN
+(GDN's per-channel normalization is a poor fit for the MXU; GELU convs
+reach similar RD in practice at these model sizes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["HyperpriorModel", "rd_loss", "estimate_bits"]
+
+_HALF_LOG2E = math.log2(math.e)
+
+
+def _std_normal_cdf(x):
+    return 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def gaussian_bits(y, scale):
+    """−log2 P(y ∈ [y−½, y+½)) under N(0, scale²); y noise-relaxed."""
+    scale = jnp.maximum(scale, 1e-6)
+    upper = _std_normal_cdf((y + 0.5) / scale)
+    lower = _std_normal_cdf((y - 0.5) / scale)
+    return -jnp.log2(jnp.maximum(upper - lower, 1e-12))
+
+
+def logistic_bits(z, mu, log_s):
+    """−log2 P(z ∈ [z−½, z+½)) under a per-channel logistic prior — the
+    factorized entropy bottleneck (one (μ, s) pair per channel)."""
+    s = jnp.exp(log_s)
+    upper = jax.nn.sigmoid((z + 0.5 - mu) / s)
+    lower = jax.nn.sigmoid((z - 0.5 - mu) / s)
+    return -jnp.log2(jnp.maximum(upper - lower, 1e-12))
+
+
+class Analysis(nn.Module):
+    n: int = 128
+    m: int = 192
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 3] → [B, H/16, W/16, M]
+        for ch in (self.n, self.n, self.n):
+            x = nn.Conv(ch, (5, 5), strides=2, padding="SAME")(x)
+            x = nn.gelu(x)
+        return nn.Conv(self.m, (5, 5), strides=2, padding="SAME")(x)
+
+
+class Synthesis(nn.Module):
+    n: int = 128
+
+    @nn.compact
+    def __call__(self, y):  # [B, H/16, W/16, M] → [B, H, W, 3]
+        for ch in (self.n, self.n, self.n):
+            y = nn.ConvTranspose(ch, (5, 5), strides=(2, 2), padding="SAME")(y)
+            y = nn.gelu(y)
+        return nn.ConvTranspose(3, (5, 5), strides=(2, 2), padding="SAME")(y)
+
+
+class HyperAnalysis(nn.Module):
+    n: int = 128
+
+    @nn.compact
+    def __call__(self, y):  # [B, h, w, M] → [B, h/4, w/4, N]
+        z = nn.Conv(self.n, (3, 3), padding="SAME")(jnp.abs(y))
+        z = nn.gelu(z)
+        z = nn.Conv(self.n, (5, 5), strides=2, padding="SAME")(z)
+        z = nn.gelu(z)
+        return nn.Conv(self.n, (5, 5), strides=2, padding="SAME")(z)
+
+
+class HyperSynthesis(nn.Module):
+    n: int = 128
+    m: int = 192
+
+    @nn.compact
+    def __call__(self, z):  # [B, h/4, w/4, N] → σ [B, h, w, M]
+        s = nn.ConvTranspose(self.n, (5, 5), strides=(2, 2), padding="SAME")(z)
+        s = nn.gelu(s)
+        s = nn.ConvTranspose(self.n, (5, 5), strides=(2, 2), padding="SAME")(s)
+        s = nn.gelu(s)
+        s = nn.Conv(self.m, (3, 3), padding="SAME")(s)
+        return jnp.exp(s)  # positive scales
+
+
+class HyperpriorModel(nn.Module):
+    """End-to-end scale-hyperprior codec."""
+
+    n: int = 128
+    m: int = 192
+
+    def setup(self):
+        self.g_a = Analysis(self.n, self.m)
+        self.g_s = Synthesis(self.n)
+        self.h_a = HyperAnalysis(self.n)
+        self.h_s = HyperSynthesis(self.n, self.m)
+        # factorized-prior parameters, one (μ, log s) per z channel
+        self.z_mu = self.param("z_mu", nn.initializers.zeros, (self.n,))
+        self.z_log_s = self.param("z_log_s", nn.initializers.zeros, (self.n,))
+
+    def __call__(self, x, key=None):
+        """Noise-relaxed forward. Returns (x̂, y_bits, z_bits) with bits
+        summed per batch element."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        if key is not None:
+            ky, kz = jax.random.split(key)
+            y_t = y + jax.random.uniform(ky, y.shape, y.dtype, -0.5, 0.5)
+            z_t = z + jax.random.uniform(kz, z.shape, z.dtype, -0.5, 0.5)
+        else:
+            y_t = jnp.round(y)
+            z_t = jnp.round(z)
+        sigma = self.h_s(z_t)
+        x_hat = self.g_s(y_t)
+        y_bits = jnp.sum(gaussian_bits(y_t, sigma), axis=(1, 2, 3))
+        z_bits = jnp.sum(
+            logistic_bits(z_t, self.z_mu, self.z_log_s), axis=(1, 2, 3)
+        )
+        return x_hat, y_bits, z_bits
+
+    def compress_eval(self, x):
+        """Hard-quantized round trip → (x̂, total_bits per element)."""
+        return self(x, key=None)
+
+
+def rd_loss(x_hat, x, y_bits, z_bits, lam: float):
+    """λ·255²·MSE + bpp (per-pixel rate)."""
+    num_pixels = x.shape[1] * x.shape[2]
+    bpp = jnp.mean((y_bits + z_bits) / num_pixels)
+    mse = jnp.mean((x_hat - x) ** 2)
+    return lam * (255.0**2) * mse + bpp, bpp, mse
+
+
+def estimate_bits(y_bits, z_bits, num_pixels: int):
+    return float(jnp.mean((y_bits + z_bits))) / num_pixels
