@@ -336,6 +336,40 @@ class NTCTrainer:
         return loss, step_psnr, lod
 
     # ------------------------------------------------------------------
+    # checkpoint / resume (preemption-safe training; replaces the
+    # reference's encode_from_middle flags, movie_3d_comp.py:29-35)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        from nic.io.artifacts import save_checkpoint
+
+        save_checkpoint(
+            path, self.state.step,
+            {"fp": self.state.fp, "mlp": self.state.mlp},
+            {"fp": self.state.opt_fp, "mlp": self.state.opt_mlp},
+            extra={"frozen": self.state.frozen},
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        import json
+
+        import numpy as _np
+
+        from nic.io.artifacts import load_checkpoint
+
+        s = self.state
+        step, params, opt = load_checkpoint(
+            path, {"fp": s.fp, "mlp": s.mlp}, {"fp": s.opt_fp, "mlp": s.opt_mlp}
+        )
+        with _np.load(path) as z:
+            meta = json.loads(bytes(z["__meta__"]).decode())
+        self.state = NTCState(
+            fp=params["fp"], mlp=params["mlp"],
+            opt_fp=opt["fp"], opt_mlp=opt["mlp"],
+            step=step, frozen=bool(meta.get("frozen", False)),
+        )
+
+    # ------------------------------------------------------------------
     # tiled full-image decode (image_compression.py:307-346 semantics)
     # ------------------------------------------------------------------
 
@@ -375,8 +409,16 @@ class NTCTrainer:
             ).reshape(-1, 2)
             origins = ij * n
 
+            mesh = self.mesh
+
             def decode(fp, mlp):
                 tiles = jax.vmap(lambda o: tile(fp, mlp, o))(origins)
+                if mesh is not None:
+                    # decode tiles data-parallel over the mesh (grids/MLP
+                    # replicated; no halo needed — gathers are local)
+                    from jax.sharding import PartitionSpec as P
+
+                    tiles = shard_batch(tiles, mesh, P("data", None, None, None))
                 t = tiles.reshape(div_slice, div_slice, n, n, 3)
                 return t.transpose(0, 2, 1, 3, 4).reshape(decode_size, decode_size, 3)
 
