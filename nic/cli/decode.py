@@ -1,0 +1,95 @@
+"""Decoder-only runtime: decode a compressed artifact without any training
+state — the "ship it" loader (SURVEY.md §5 checkpoint row: one artifact
+format, loader = decoder-only runtime).
+
+Run:
+  python -m nic.cli.decode runs/artifacts/name.npz --mip 0 --out out.png
+  python -m nic.cli.decode art.npz --backend pallas     # fused kernel
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def run(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("artifact")
+    p.add_argument("--mip", type=int, default=0)
+    p.add_argument("--out", default=None)
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="override the stored image size")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from nic.grids.pyramid import pyramid_mip_levels
+    from nic.grids.sample import decoder_input
+    from nic.io.artifacts import load_compressed
+    from nic.models.mlp import apply_mlp
+
+    mlp, fp, meta = load_compressed(args.artifact)
+    cfg_meta = meta.get("config", {})
+    image_size = args.image_size or cfg_meta.get("image_size")
+    if image_size is None:
+        # infer 2D size from the G0 grid: base = size-1, image = 4*base
+        image_size = (fp[0].shape[1] - 1) * 4
+    pe_channels = cfg_meta.get("pe_channels", 6)
+    use_tri_pe = cfg_meta.get("tf_use_tri_pe", True)
+    no_mip = cfg_meta.get("tf_no_mip", len(fp) == 2)
+    base = fp[0].shape[1] - 1
+    mip_to_level = pyramid_mip_levels(image_size, base, no_mip)
+    ndim = fp[0].ndim - 1
+
+    mip = args.mip
+    fl = mip_to_level[mip]
+    step = 2.0 ** (mip - (fl + 1) * 2)
+    n = image_size // (2**mip)
+
+    if args.backend == "pallas" and ndim == 2:
+        from nic.kernels.decode_fused import decode_image_fused
+
+        decode = jax.jit(
+            lambda fp, mlp: decode_image_fused(
+                fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
+                pe_channels=pe_channels, use_tri_pe=use_tri_pe,
+            )
+        )
+    else:
+        @jax.jit
+        def decode(fp, mlp):
+            x = decoder_input(
+                fp, fl, jnp.zeros((ndim,), jnp.int32), step, n,
+                pe_channels=pe_channels, mip_level=mip, ndim=ndim,
+                use_tri_pe=use_tri_pe,
+            )
+            return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
+
+    out = jax.block_until_ready(decode(fp, mlp))  # includes compile
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(decode(fp, mlp))
+    dt = time.perf_counter() - t0
+    rec = np.clip(np.asarray(out, np.float32), 0, 1)
+    npix = rec.size // 3
+    print(f"decoded {rec.shape} in {dt*1e3:.2f} ms "
+          f"({npix/dt/1e9:.3f} GPix/s, backend={args.backend})")
+    if args.out:
+        from nic.data.assets import save_png, write_timelaps
+
+        u8 = (rec * 255 + 0.5).astype(np.uint8)
+        if ndim == 2:
+            save_png(u8, args.out)
+        else:
+            write_timelaps(u8, args.out)
+        print(f"wrote {args.out}")
+    return rec
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

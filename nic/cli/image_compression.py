@@ -131,7 +131,17 @@ def run(argv=None) -> dict:
         trainer.freeze_and_quantize()
         payload_bits = save_compressed(
             artifact, trainer.state.mlp, trainer.state.fp, cfg.fp_bits,
-            {"save_name": cfg.save_name},
+            {
+                "save_name": cfg.save_name,
+                "config": {
+                    "image_size": cfg.image_size,
+                    "pe_channels": cfg.pe_channels,
+                    "tf_use_tri_pe": cfg.tf_use_tri_pe,
+                    "tf_no_mip": cfg.tf_no_mip,
+                    "compression_method": cfg.compression_method,
+                    "image_dimension": cfg.image_dimension,
+                },
+            },
         )
     else:
         import dataclasses
