@@ -59,7 +59,7 @@ def _throughput(fn, *args, iters: int = 50, warmup: int = 5) -> float:
     return npix / float(np.median(times)) / 1e9
 
 
-def bench_xla() -> float:
+def bench_xla(dtype=None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -67,88 +67,141 @@ def bench_xla() -> float:
     from nic.models.mlp import apply_mlp
 
     fp, mlp, _ = _setup()
+    if dtype is not None:
+        fp = tuple(g.astype(dtype) for g in fp)
+        mlp = jax.tree.map(lambda p: p.astype(dtype), mlp)
 
     @jax.jit
     def xla_decode(fp, mlp):
         x = decoder_input(
             fp, 0, jnp.zeros((2,), jnp.int32), 0.25, IMAGE_SIZE,
             pe_channels=PE, mip_level=0, ndim=2, use_tri_pe=True,
+            dtype=dtype or jnp.float32,
         )
         return apply_mlp(mlp, x).reshape(IMAGE_SIZE, IMAGE_SIZE, 3)
 
     return _throughput(xla_decode, fp, mlp)
 
 
-def bench_fused() -> float:
+def bench_fast(dtype=None) -> float:
+    """Folded-first-layer decode (nic.grids.fastdecode)."""
     import jax
 
-    from nic.kernels.decode_fused import decode_image_fused
+    from nic.grids.fastdecode import fast_decode
+
+    fp, mlp, mip_to_level = _setup()
+    if dtype is not None:
+        fp = tuple(g.astype(dtype) for g in fp)
+        mlp = jax.tree.map(lambda p: p.astype(dtype), mlp)
+
+    fn = jax.jit(
+        lambda fp, mlp: fast_decode(
+            fp, mlp, 0, image_size=IMAGE_SIZE, mip_to_level=mip_to_level,
+            pe_channels=PE, use_tri_pe=True, ndim=2,
+        )
+    )
+    return _throughput(fn, fp, mlp)
+
+
+def bench_pallas(version: int = 2, dtype=None) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from nic.grids.fastdecode import fast_decode
 
     fp, mlp, mip_to_level = _setup()
 
+    if version == 2:
+        from nic.kernels.decode_fused_v2 import decode_image_fused_v2 as k
+        kw = {"dtype": dtype}
+    else:
+        from nic.kernels.decode_fused import decode_image_fused as k
+        kw = {}
+
     def fused(fp, mlp):
-        return decode_image_fused(
+        return k(
             fp, mlp, 0, image_size=IMAGE_SIZE, mip_to_level=mip_to_level,
-            pe_channels=PE, use_tri_pe=True,
+            pe_channels=PE, use_tri_pe=True, **kw,
         )
 
-    # correctness gate vs the XLA path before timing
-    import jax.numpy as jnp
-
-    from nic.grids.sample import decoder_input
-    from nic.models.mlp import apply_mlp
-
-    @jax.jit
-    def xla_decode(fp, mlp):
-        x = decoder_input(
-            fp, 0, jnp.zeros((2,), jnp.int32), 0.25, IMAGE_SIZE,
-            pe_channels=PE, mip_level=0, ndim=2, use_tri_pe=True,
-        )
-        return apply_mlp(mlp, x).reshape(IMAGE_SIZE, IMAGE_SIZE, 3)
-
-    ref = np.asarray(xla_decode(fp, mlp))
+    # correctness gate vs the folded XLA path before timing
+    ref = np.asarray(
+        jax.jit(
+            lambda fp, mlp: fast_decode(
+                fp, mlp, 0, image_size=IMAGE_SIZE, mip_to_level=mip_to_level,
+                pe_channels=PE, use_tri_pe=True, ndim=2,
+            )
+        )(fp, mlp)
+    )
     got = np.asarray(fused(fp, mlp))
     max_err = float(np.abs(ref - got).max())
-    if max_err > 1e-3:
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-3
+    if max_err > tol:
         raise RuntimeError(f"fused decode mismatch: max abs err {max_err}")
     return _throughput(fused, fp, mlp)
 
 
 def main() -> None:
     if "--fused-only" in sys.argv:
-        print(json.dumps({"fused_gpix_s": bench_fused()}))
+        import jax.numpy as jnp
+
+        out = {"fused_gpix_s": bench_pallas(2)}
+        try:
+            out["fused_bf16_gpix_s"] = bench_pallas(2, jnp.bfloat16)
+        except Exception as e:
+            out["fused_bf16_note"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(out))
         return
 
-    xla_gpix = bench_xla()
-    fused_gpix = None
-    fused_note = None
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--fused-only"],
-            capture_output=True, text=True, timeout=420,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode == 0:
-            fused_gpix = json.loads(proc.stdout.strip().splitlines()[-1])["fused_gpix_s"]
-        else:
-            fused_note = proc.stderr.strip().splitlines()[-1][:200] if proc.stderr else "nonzero exit"
-    except subprocess.TimeoutExpired:
-        fused_note = "fused kernel compile timed out (>420s)"
-    except Exception as e:  # pragma: no cover
-        fused_note = f"{type(e).__name__}: {e}"
+    import jax.numpy as jnp
 
-    best = max(xla_gpix, fused_gpix or 0.0)
+    xla_gpix = bench_xla()
+    fast_gpix = bench_fast()
+    fast_bf16_gpix = bench_fast(jnp.bfloat16)
+
+    pallas_gpix = None
+    pallas_bf16_gpix = None
+    pallas_note = None
+    if os.environ.get("NIC_BENCH_PALLAS", "1") == "1":
+        # subprocess + timeout so a pathological Mosaic compile can't hang
+        # the driver's bench run
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--fused-only"],
+                capture_output=True, text=True, timeout=420,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode == 0:
+                d = json.loads(proc.stdout.strip().splitlines()[-1])
+                pallas_gpix = d.get("fused_gpix_s")
+                pallas_bf16_gpix = d.get("fused_bf16_gpix_s")
+                pallas_note = d.get("fused_bf16_note")
+            else:
+                pallas_note = proc.stderr.strip().splitlines()[-1][:200] if proc.stderr else "nonzero exit"
+        except subprocess.TimeoutExpired:
+            pallas_note = "pallas kernel compile timed out (>420s)"
+        except Exception as e:  # pragma: no cover
+            pallas_note = f"{type(e).__name__}: {e}"
+
+    best = max(xla_gpix, fast_gpix, fast_bf16_gpix,
+               pallas_gpix or 0.0, pallas_bf16_gpix or 0.0)
     result = {
         "metric": "ntc_decode_throughput_512px",
         "value": round(best, 4),
         "unit": "GPix/s",
+        # baseline = the unfused XLA graph (the shape of the reference's
+        # own decode); the reference publishes no numbers (BASELINE.md)
         "vs_baseline": round(best / xla_gpix, 3),
         "xla_gpix_s": round(xla_gpix, 4),
+        "fast_gpix_s": round(fast_gpix, 4),
+        "fast_bf16_gpix_s": round(fast_bf16_gpix, 4),
     }
-    if fused_gpix is not None:
-        result["fused_gpix_s"] = round(fused_gpix, 4)
-    if fused_note:
-        result["fused_note"] = fused_note
+    if pallas_gpix is not None:
+        result["pallas_gpix_s"] = round(pallas_gpix, 4)
+    if pallas_bf16_gpix is not None:
+        result["pallas_bf16_gpix_s"] = round(pallas_bf16_gpix, 4)
+    if pallas_note:
+        result["pallas_note"] = pallas_note
     print(json.dumps(result))
 
 

@@ -21,7 +21,7 @@ def run(argv=None):
     p.add_argument("artifact")
     p.add_argument("--mip", type=int, default=0)
     p.add_argument("--out", default=None)
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--backend", choices=["fast", "xla", "pallas"], default="fast")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     args = p.parse_args(argv)
@@ -59,6 +59,15 @@ def run(argv=None):
             lambda fp, mlp: decode_image_fused(
                 fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
                 pe_channels=pe_channels, use_tri_pe=use_tri_pe,
+            )
+        )
+    elif args.backend == "fast":
+        from nic.grids.fastdecode import fast_decode
+
+        decode = jax.jit(
+            lambda fp, mlp: fast_decode(
+                fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
+                pe_channels=pe_channels, use_tri_pe=use_tri_pe, ndim=ndim,
             )
         )
     else:

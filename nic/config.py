@@ -62,7 +62,7 @@ class CompressionConfig:
     tf_write_psnr: bool = True
     # --- new framework knobs (no reference counterpart) ---
     seed: int = 0
-    decode_backend: str = "xla"      # "xla" | "pallas"
+    decode_backend: str = "fast"     # "fast" (folded layer 1) | "xla" | "pallas"
     qat_ste: bool = False            # straight-through estimator (off = reference parity)
     data_parallel: bool = False      # shard crops over a device mesh
     output_root: str = "runs"        # artifact root (reference wrote to cwd-relative dirs)

@@ -39,6 +39,7 @@ __all__ = [
     "load_latent",
     "save_checkpoint",
     "load_checkpoint",
+    "CheckpointManager",
 ]
 
 
@@ -131,6 +132,51 @@ def save_checkpoint(path: str, step: int, params, opt_state=None, extra: dict | 
     meta = {"step": step, **(extra or {})}
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
+
+
+class CheckpointManager:
+    """Step-tagged checkpoints with retention — the preemption-safe manager
+    SURVEY.md §5 calls for (the reference only has manual every-100k saves,
+    image_compression.py:301-303). Atomic writes (tmp + rename), keeps the
+    newest ``keep`` snapshots, ``latest()`` for resume-after-kill."""
+
+    def __init__(self, directory: str, name: str = "ckpt", keep: int = 3):
+        self.directory = directory
+        self.name = name
+        self.keep = keep
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"{self.name}_{step:012d}.npz")
+
+    def steps(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.directory):
+            if f.startswith(self.name + "_") and f.endswith(".npz"):
+                try:
+                    out.append(int(f[len(self.name) + 1 : -4]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def save(self, step: int, params, opt_state=None, extra: dict | None = None) -> str:
+        path = self._path(step)
+        tmp = path + ".tmp.npz"
+        save_checkpoint(tmp, step, params, opt_state, extra)
+        os.replace(tmp, path)
+        for old in self.steps()[: -self.keep]:
+            os.remove(self._path(old))
+        return path
+
+    def latest(self) -> str | None:
+        steps = self.steps()
+        return self._path(steps[-1]) if steps else None
+
+    def restore_latest(self, params_template, opt_template=None):
+        path = self.latest()
+        if path is None:
+            return None
+        return load_checkpoint(path, params_template, opt_template)
 
 
 def load_checkpoint(path: str, params_template, opt_template=None):

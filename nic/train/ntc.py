@@ -395,8 +395,22 @@ class NTCTrainer:
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 
         if div_slice == 1:
-            def decode(fp, mlp):
-                return tile(fp, mlp, jnp.zeros((ndim,), jnp.int32))
+            if cfg.decode_backend == "fast":
+                # folded-first-layer decode (nic.grids.fastdecode): exact,
+                # ~2× fewer matmul FLOPs, no [N, F] feature matrix
+                from nic.grids.fastdecode import fast_decode
+
+                m2l = self.mip_to_level
+
+                def decode(fp, mlp):
+                    return fast_decode(
+                        fp, mlp, mip, image_size=cfg.image_size,
+                        mip_to_level=m2l, pe_channels=cfg.pe_channels,
+                        use_tri_pe=use_tri_pe, ndim=ndim, sparse_g0=sparse_g0,
+                    )
+            else:
+                def decode(fp, mlp):
+                    return tile(fp, mlp, jnp.zeros((ndim,), jnp.int32))
         else:
             # tile origins on a regular lattice; vmap over all tiles then
             # stitch by reshape/transpose (2D only — 3D assets are small

@@ -176,3 +176,19 @@ def test_compressed_num_bits(tmp_path):
     with _np.load(p) as z:
         grid_bytes = z["grid0"].nbytes + z["grid1"].nbytes
     assert grid_bytes <= (fp[0].size + fp[1].size) // 4 + 2
+
+
+def test_checkpoint_manager(tmp_path):
+    import jax.numpy as jnp
+
+    mgr = artifacts.CheckpointManager(str(tmp_path / "ck"), keep=2)
+    assert mgr.latest() is None
+    params = {"w": jnp.ones((2, 2))}
+    for step in (10, 20, 30):
+        mgr.save(step, {"w": params["w"] * step})
+    assert mgr.steps() == [20, 30]  # retention pruned step 10
+    step, restored = artifacts.load_checkpoint(mgr.latest(), params)
+    assert step == 30
+    np.testing.assert_allclose(np.asarray(restored["w"]), 30.0)
+    got = mgr.restore_latest(params)
+    assert got[0] == 30

@@ -71,3 +71,51 @@ def test_fused_multiblock_grid():
             )
         )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_tri_pe", [True, False])
+@pytest.mark.parametrize("mip", [0, 1, 2, 3, 4])
+def test_fused_v2_matches_fastdecode(mip, use_tri_pe):
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size, base, c, pe = 64, 16, 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2)
+    m2l = pyramid_mip_levels(image_size, base)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=use_tri_pe, ndim=2)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=use_tri_pe,
+            )
+        )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_v2_multiblock():
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size, base = 128, 32
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    fp, _ = create_pyramid(k1, base, 4, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, 4 * 5 + 6 * 2 + 1, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=6, ndim=2)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=6,
+            )
+        )
+    np.testing.assert_allclose(got, want, atol=2e-5)
