@@ -198,6 +198,16 @@ def run(argv=None) -> dict:
                                          f"{cfg.save_name}_{mip}.csv"),
                 )
 
+    if cfg.tf_show_result and cfg.image_dimension == 2:
+        # headless stand-in for the reference's matplotlib side-by-side
+        # display (image_compression.py:494-510): write a comparison PNG
+        orig_u8 = (np.moveaxis(np.asarray(images[0]), 0, -1) * 255).astype(np.uint8)
+        side = np.concatenate([orig_u8, reconstructed[0]], axis=1)
+        assets.save_png(
+            side, make_filename_by_seq(out("image", cfg.save_name),
+                                       f"{cfg.save_name}_compare.png")
+        )
+
     num_pixels = np.asarray(images[0]).size // 3
     results["bpp"] = payload_bits / num_pixels
     log(f"bpp: {results['bpp']}")

@@ -67,6 +67,7 @@ class CompressionConfig:
     data_parallel: bool = False      # shard crops over a device mesh
     output_root: str = "runs"        # artifact root (reference wrote to cwd-relative dirs)
     save_lut_csv: bool = False       # export decoded 3D LUTs as CSV (sample22-x lineage)
+    rng_impl: str = "threefry2x32"   # "rbg" = cheaper on-device bits for QAT noise
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -167,6 +168,7 @@ _CLI_KEYS: dict[str, str] = {
     "DATA_PARALLEL": "data_parallel",
     "OUTPUT_ROOT": "output_root",
     "SAVE_LUT_CSV": "save_lut_csv",
+    "RNG_IMPL": "rng_impl",
 }
 
 
