@@ -146,6 +146,22 @@ class HyperpriorModel(nn.Module):
         """Hard-quantized round trip → (x̂, total_bits per element)."""
         return self(x, key=None)
 
+    # submodule entry points for the bitstream codec (nic.io.entropy)
+    def analysis(self, x):
+        return self.g_a(x)
+
+    def hyper_analysis(self, y):
+        return self.h_a(y)
+
+    def hyper_synthesis(self, z_hat):
+        return self.h_s(z_hat)
+
+    def synthesis(self, y_hat):
+        return self.g_s(y_hat)
+
+    def z_prior_params(self):
+        return self.z_mu, self.z_log_s
+
 
 def rd_loss(x_hat, x, y_bits, z_bits, lam: float):
     """λ·255²·MSE + bpp (per-pixel rate)."""

@@ -13,7 +13,9 @@ import os
 import numpy as np
 
 _SO_PATH = os.path.join(os.path.dirname(__file__), "libnic_native.so")
+_RANS_PATH = os.path.join(os.path.dirname(__file__), "librans.so")
 _lib = None
+_rans = None
 
 
 def _load():
@@ -35,6 +37,74 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def _load_rans():
+    global _rans
+    if _rans is None and os.path.exists(_RANS_PATH):
+        lib = ctypes.CDLL(_RANS_PATH)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.nic_rans_encode.restype = ctypes.c_int64
+        lib.nic_rans_encode.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, u8p, ctypes.c_int64
+        ]
+        lib.nic_rans_decode.restype = ctypes.c_int
+        lib.nic_rans_decode.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p
+        ]
+        _rans = lib
+    return _rans
+
+
+def rans_available() -> bool:
+    return _load_rans() is not None
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def rans_encode(symbols: np.ndarray, bins: np.ndarray, cdf: np.ndarray) -> bytes:
+    """rANS-encode ``symbols`` (each drawn from its ``bins`` row of the
+    int32 [n_bins, S+1] 16-bit-total ``cdf``). Native C++ with a pure-python
+    fallback (nic.io.entropy)."""
+    symbols = np.ascontiguousarray(symbols, np.int32).reshape(-1)
+    bins = np.ascontiguousarray(bins, np.int32).reshape(-1)
+    cdf = np.ascontiguousarray(cdf, np.int32)
+    lib = _load_rans()
+    if lib is None:
+        from nic.io.entropy import rans_encode_py
+
+        return rans_encode_py(symbols, bins, cdf)
+    cap = symbols.size * 4 + 64
+    out = np.empty(cap, np.uint8)
+    n = lib.nic_rans_encode(
+        _i32p(symbols), _i32p(bins), symbols.size, _i32p(cdf), cdf.shape[1],
+        _u8p(out), cap,
+    )
+    if n < 0:
+        raise ValueError("rans encode failed (symbol out of CDF range?)")
+    return bytes(out[:n])
+
+
+def rans_decode(data: bytes, bins: np.ndarray, cdf: np.ndarray) -> np.ndarray:
+    bins = np.ascontiguousarray(bins, np.int32).reshape(-1)
+    cdf = np.ascontiguousarray(cdf, np.int32)
+    lib = _load_rans()
+    if lib is None:
+        from nic.io.entropy import rans_decode_py
+
+        return rans_decode_py(data, bins, cdf)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(bins.size, np.int32)
+    rc = lib.nic_rans_decode(
+        _u8p(np.ascontiguousarray(buf)), buf.size, _i32p(bins), bins.size,
+        _i32p(cdf), cdf.shape[1], _i32p(out),
+    )
+    if rc != 0:
+        raise ValueError("rans decode failed")
+    return out
 
 
 def _u8p(a: np.ndarray):

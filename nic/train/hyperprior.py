@@ -99,6 +99,87 @@ class HyperpriorTrainer:
         return psnr, bpp, x_hat
 
 
+def _pad64(image: np.ndarray):
+    h, w = image.shape[:2]
+    ph, pw = (-h) % 64, (-w) % 64
+    return np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")[None], (h, w)
+
+
+class HyperpriorCodec:
+    """Real bitstream compress/decompress around a trained HyperpriorTrainer
+    (rANS over the learned priors — nic.io.entropy + nic/native/rans.cpp).
+
+    Lossless w.r.t. the quantized latents: decompress reproduces exactly
+    the trainer's hard-quantized evaluation output."""
+
+    def __init__(self, trainer: HyperpriorTrainer):
+        import jax
+
+        self.t = trainer
+        m, p = trainer.model, trainer.params
+        self._g_a = jax.jit(lambda x: m.apply(p, x, method=m.analysis))
+        self._h_a = jax.jit(lambda y: m.apply(p, y, method=m.hyper_analysis))
+        self._h_s = jax.jit(lambda z: m.apply(p, z, method=m.hyper_synthesis))
+        self._g_s = jax.jit(lambda y: m.apply(p, y, method=m.synthesis))
+        self._z_mu, self._z_log_s = m.apply(p, method=m.z_prior_params)
+
+    def compress(self, image: np.ndarray) -> dict:
+        """HWC image in [0,1] → {'y': bytes, 'z': bytes, header...}."""
+        from nic.io import entropy as ec
+        from nic.native import rans_encode
+
+        x, (h, w) = _pad64(image)
+        y = np.asarray(self._g_a(jnp.asarray(x)))
+        z = np.asarray(self._h_a(jnp.asarray(y)))
+        z_hat = np.round(z).astype(np.int32)
+        y_hat = np.round(y).astype(np.int32)
+        sigma = np.asarray(self._h_s(jnp.asarray(z_hat, np.float32)))
+
+        a_y = max(1, int(np.abs(y_hat).max()))
+        a_z = max(1, int(np.abs(z_hat).max()))
+        cdf_y = ec.gaussian_cdf_table(a_y)
+        bins_y = ec.scale_bin_indices(sigma).reshape(-1)
+        bytes_y = rans_encode(y_hat.reshape(-1) + a_y, bins_y, cdf_y)
+
+        cdf_z = ec.logistic_cdf_table(
+            np.asarray(self._z_mu), np.asarray(self._z_log_s), a_z
+        )
+        n_ch = z_hat.shape[-1]
+        bins_z = np.tile(np.arange(n_ch, dtype=np.int32),
+                         z_hat.size // n_ch)
+        bytes_z = rans_encode(z_hat.reshape(-1) + a_z, bins_z, cdf_z)
+        return {
+            "y": bytes_y, "z": bytes_z, "a_y": a_y, "a_z": a_z,
+            "y_shape": y.shape, "z_shape": z.shape, "hw": (h, w),
+        }
+
+    def num_bits(self, blob: dict) -> int:
+        return (len(blob["y"]) + len(blob["z"])) * 8
+
+    def decompress(self, blob: dict) -> np.ndarray:
+        from nic.io import entropy as ec
+        from nic.native import rans_decode
+
+        n_ch = blob["z_shape"][-1]
+        cdf_z = ec.logistic_cdf_table(
+            np.asarray(self._z_mu), np.asarray(self._z_log_s), blob["a_z"]
+        )
+        count_z = int(np.prod(blob["z_shape"]))
+        bins_z = np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
+        z_hat = (rans_decode(blob["z"], bins_z, cdf_z) - blob["a_z"]).reshape(
+            blob["z_shape"]
+        )
+        sigma = np.asarray(self._h_s(jnp.asarray(z_hat, np.float32)))
+        cdf_y = ec.gaussian_cdf_table(blob["a_y"])
+        bins_y = ec.scale_bin_indices(sigma).reshape(-1)
+        y_hat = (rans_decode(blob["y"], bins_y, cdf_y) - blob["a_y"]).reshape(
+            blob["y_shape"]
+        )
+        x_hat = np.asarray(self._g_s(jnp.asarray(y_hat, np.float32)))
+        h, w = blob["hw"]
+        return np.clip(x_hat[0, :h, :w], 0, 1)
+
+
 def eval_image_set(trainer: HyperpriorTrainer, paths: list[str]):
     """Kodak-style harness: mean PSNR (255-domain equivalent) and bpp over
     a directory/list of images."""

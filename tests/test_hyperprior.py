@@ -50,3 +50,59 @@ def test_eval_image_set(tmp_path):
     res = eval_image_set(tr, paths)
     assert len(res["images"]) == 2
     assert np.isfinite(res["mean_psnr"]) and res["mean_bpp"] > 0
+
+
+def test_rans_roundtrip_and_native_parity():
+    import numpy as np
+
+    from nic.io import entropy as ec
+    from nic import native
+
+    rng = np.random.default_rng(0)
+    cdf = ec.gaussian_cdf_table(8)  # [64, 18]
+    bins = rng.integers(0, 64, 5000).astype(np.int32)
+    syms = rng.integers(0, 17, 5000).astype(np.int32)
+    blob_py = ec.rans_encode_py(syms, bins, cdf)
+    back = ec.rans_decode_py(blob_py, bins, cdf)
+    np.testing.assert_array_equal(back, syms)
+    if native.rans_available():
+        blob_cc = native.rans_encode(syms, bins, cdf)
+        assert blob_cc == blob_py  # identical state machines
+        np.testing.assert_array_equal(native.rans_decode(blob_cc, bins, cdf), syms)
+
+
+def test_quantized_pmf_properties():
+    import numpy as np
+
+    from nic.io.entropy import quantize_pmf, PROB_SCALE
+
+    pmf = np.asarray([0.7, 0.2, 0.05, 0.05, 1e-9])
+    cdf = quantize_pmf(pmf)
+    freqs = np.diff(cdf)
+    assert cdf[0] == 0 and cdf[-1] == PROB_SCALE
+    assert (freqs >= 1).all()
+
+
+def test_codec_bitstream_roundtrip():
+    import numpy as np
+
+    from nic.train.hyperprior import HyperpriorCodec, HyperpriorTrainer
+
+    tr = HyperpriorTrainer(n=16, m=24, lam=0.01, patch=64, batch=2, seed=0)
+    imgs = _toy_images(2, 64)
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        tr.train_step(tr.sample_patches(imgs, rng))
+    codec = HyperpriorCodec(tr)
+    img = _toy_images(1, 80)[0]
+    blob = codec.compress(img)
+    rec = codec.decompress(blob)
+    assert rec.shape == img.shape
+    # bitstream decode reproduces the hard-quantized eval exactly
+    _, _, x_eval = tr.evaluate(img)
+    np.testing.assert_allclose(rec, x_eval, atol=1e-6)
+    # real bpp is close to the estimated rate (CDF quantization overhead)
+    psnr, bpp_est, _ = tr.evaluate(img)
+    bpp_real = codec.num_bits(blob) / (img.shape[0] * img.shape[1])
+    assert bpp_real < bpp_est * 1.2 + 0.1
+    assert bpp_real > bpp_est * 0.7
