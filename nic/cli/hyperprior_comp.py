@@ -1,0 +1,108 @@
+"""Hyperprior rate–distortion codec workload (north-star extension; no
+reference counterpart — the reference's rate is fixed num_bits).
+
+Train R+λD on a directory of images, then evaluate PSNR/bpp (estimated
+rate AND the real rANS bitstream size) on an eval set — the Kodak-style
+harness (point it at a Kodak directory when one is available).
+
+Run:
+  python -m nic.cli.hyperprior_comp --train_dir data --eval_dir data \
+      --steps 20000 --lam 0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+from nic.obs.log import RunLog, ScalarWriter, make_filename_by_seq
+
+
+def _load_images(paths):
+    from PIL import Image
+
+    out = []
+    for p in paths:
+        img = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        out.append(img)
+    return out
+
+
+def run(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train_dir", default="data")
+    p.add_argument("--eval_dir", default="data")
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--lam", type=float, default=0.01)
+    p.add_argument("--n", type=int, default=96)
+    p.add_argument("--m", type=int, default=128)
+    p.add_argument("--patch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--interval_print", type=int, default=500)
+    p.add_argument("--output_root", default="runs")
+    args = p.parse_args(argv)
+
+    from nic.train.hyperprior import HyperpriorCodec, HyperpriorTrainer, eval_image_set
+
+    name = f"hyperprior_lam{args.lam}_{args.steps}"
+    out = lambda *q: os.path.join(args.output_root, *q)
+    log = RunLog(make_filename_by_seq(out("printlog"), f"{name}.txt"))
+    log(datetime.datetime.now())
+
+    exts = ("*.png", "*.jpg", "*.jpeg")
+    train_paths = sorted(q for e in exts for q in glob.glob(os.path.join(args.train_dir, e)))
+    eval_paths = sorted(q for e in exts for q in glob.glob(os.path.join(args.eval_dir, e)))
+    if not train_paths:
+        raise FileNotFoundError(f"no images under {args.train_dir}")
+    log(f"train images: {len(train_paths)}, eval images: {len(eval_paths)}")
+
+    # patch size must fit the smallest training image
+    imgs = _load_images(train_paths)
+    min_side = min(min(i.shape[0], i.shape[1]) for i in imgs)
+    patch = min(args.patch, 1 << (min_side.bit_length() - 1))
+    trainer = HyperpriorTrainer(
+        n=args.n, m=args.m, lam=args.lam, lr=args.lr, patch=patch,
+        batch=args.batch, seed=args.seed,
+    )
+    writer = ScalarWriter(out("log", name), out("log", f"{name}_scalars.csv"))
+    rng = np.random.default_rng(args.seed + 1)
+    with log.span("train time"):
+        for step in range(1, args.steps + 1):
+            batch = trainer.sample_patches(imgs, rng)
+            loss, bpp, mse = trainer.train_step(batch)
+            writer.add_scalar("Loss/rd", float(loss), step)
+            writer.add_scalar("Rate/bpp", float(bpp), step)
+            if step % args.interval_print == 0:
+                log(f"step {step}/{args.steps} loss {float(loss):.4f} "
+                    f"bpp {float(bpp):.3f} mse {float(mse):.6f}")
+
+    res = eval_image_set(trainer, eval_paths)
+    codec = HyperpriorCodec(trainer)
+    real_bpps = []
+    for path, row in zip(eval_paths, res["images"]):
+        img = _load_images([path])[0]
+        blob = codec.compress(img)
+        real = codec.num_bits(blob) / (img.shape[0] * img.shape[1])
+        row["bpp_bitstream"] = real
+        real_bpps.append(real)
+        log(f"{row['image']}: psnr {row['psnr']:.2f} bpp_est {row['bpp']:.3f} "
+            f"bpp_real {real:.3f}")
+    res["mean_bpp_bitstream"] = float(np.mean(real_bpps))
+    log(f"mean psnr {res['mean_psnr']:.2f}  mean bpp {res['mean_bpp']:.3f}  "
+        f"mean bpp (bitstream) {res['mean_bpp_bitstream']:.3f}")
+    json.dump(res, open(out(f"{name}_eval.json"), "w"), indent=1)
+    writer.close()
+    log(datetime.datetime.now())
+    return res
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

@@ -106,3 +106,22 @@ def test_codec_bitstream_roundtrip():
     bpp_real = codec.num_bits(blob) / (img.shape[0] * img.shape[1])
     assert bpp_real < bpp_est * 1.2 + 0.1
     assert bpp_real > bpp_est * 0.7
+
+
+def test_hyperprior_cli(tmp_path):
+    from PIL import Image
+
+    from nic.cli.hyperprior_comp import run
+
+    d = str(tmp_path / "imgs")
+    import os
+    os.makedirs(d)
+    for i, img in enumerate(_toy_images(2, 96)):
+        Image.fromarray((img * 255).astype(np.uint8)).save(f"{d}/i{i}.png")
+    res = run([
+        "--train_dir", d, "--eval_dir", d, "--steps", "15",
+        "--n", "16", "--m", "24", "--patch", "64", "--batch", "2",
+        "--interval_print", "10", "--output_root", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(res["mean_psnr"])
+    assert res["mean_bpp_bitstream"] > 0
