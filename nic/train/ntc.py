@@ -88,7 +88,11 @@ class NTCTrainer:
         """images: list indexed by mip level of [3, s, s] (2D) or
         [3, s, s, s] (3D) float arrays in [0, 1]."""
         self.cfg = cfg
-        self.dtype = cfg.compute_dtype()
+        # true mixed precision (unlike the reference's broken all-fp16 path,
+        # readme.md:9): params/optimizer state stay fp32 masters; the
+        # forward/backward compute in bf16 when MLP_NUM_DTYPE=16
+        self.compute_dtype = cfg.compute_dtype()
+        self.dtype = jnp.float32 if self.compute_dtype == jnp.bfloat16 else self.compute_dtype
         self.ndim = cfg.fp_dimension
         self.max_mip = cfg.effective_max_mip_level
         self.mesh = mesh
@@ -173,11 +177,13 @@ class NTCTrainer:
         num_crops = cfg.num_crops
         sparse_g0 = self._sparse_g0()
         use_tri_pe = self._use_tri_pe()
-        dtype = self.dtype
+        dtype = self.compute_dtype  # bf16 compute under mixed precision
 
         mesh = self.mesh
 
         def batch_forward(fp, mlp, origins, noise_key):
+            fp = tuple(g.astype(dtype) for g in fp)
+            mlp = jax.tree.map(lambda p: p.astype(dtype), mlp)
             def one(origin):
                 return decoder_input(
                     fp, fl, origin, step, n,

@@ -26,8 +26,10 @@ def test_ntc_bf16_converges():
     )
     img = _toy_image(32)
     tr = NTCTrainer(cfg, [img])
-    assert tr.state.fp[0].dtype == jnp.bfloat16
-    assert tr.state.mlp["w1"].dtype == jnp.bfloat16
+    # mixed precision: fp32 masters, bf16 compute
+    assert tr.compute_dtype == jnp.bfloat16
+    assert tr.state.fp[0].dtype == jnp.float32
+    assert tr.state.mlp["w1"].dtype == jnp.float32
     losses, _ = tr.train_many(200, chunk=100)
     assert np.all(np.isfinite(losses))
     rec = np.asarray(tr.decode(0), np.float32)
