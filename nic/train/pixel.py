@@ -199,13 +199,39 @@ class PixelTrainer:
         return np.asarray(z * (2.0**self.num_bits - 1.0)).astype(np.uint8)
 
     def _decode_impl(self, mlp_params, latent):
+        """Folded-first-layer decode (same algebra as nic.grids.fastdecode):
+        layer 1 commutes with the 2×2 patch gather, so fold W1 into the
+        latent lattice once (P = Σ_cells shift(latent)·W1_cell, [*,*,H]) and
+        per-pixel work is a ×4 nearest upsample in H-lane space (+ separable
+        PE vectors for pixel_pos). Exact vs the unfolded path."""
         s = self.image_size
-        feats = pixel_patch_features(latent, s).reshape(s * s, -1)
+        w1, b1 = mlp_params["w1"], mlp_params["b1"]
+        c = latent.shape[-1]
+        cells = s // 4  # ex = x//4 ∈ [0, cells-1]; lattice is cells+1 wide
+        p_plane = None
+        for k, (dx, dy) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            # feature layout is channel-major: row index c*4 + (dx*2+dy)
+            rows = w1[jnp.arange(c) * 4 + (dx * 2 + dy)]  # [C, H]
+            sl = jax.lax.slice(latent, (dx, dy, 0), (dx + cells, dy + cells, c))
+            term = jnp.tensordot(sl, rows, axes=([2], [0]))
+            p_plane = term if p_plane is None else p_plane + term
+        up = jnp.repeat(jnp.repeat(p_plane, 4, axis=0), 4, axis=1)  # [s, s, H]
+        acc = up
         if self.use_pe:
-            xs = jnp.repeat(jnp.arange(s), s)
-            ys = jnp.tile(jnp.arange(s), s)
-            feats = jnp.concatenate([feats, self._pe_of(xs, ys)], axis=1)
-        return apply_mlp(mlp_params, feats).reshape(s, s, 3)
+            coords = jnp.arange(s, dtype=self.dtype)[None, :]
+            table = sinusoidal_pe(coords, self.pe_channels).T  # [s, PE]
+            base = 4 * c
+            pe_u = table @ w1[base : base + self.pe_channels]
+            pe_v = table @ w1[base + self.pe_channels : base + 2 * self.pe_channels]
+            acc = acc + pe_u[:, None, :] + pe_v[None, :, :]
+        h = jax.nn.gelu(acc + b1, approximate=False)
+        h = jax.nn.gelu(
+            jnp.tensordot(h, mlp_params["w2"], axes=([2], [0])) + mlp_params["b2"],
+            approximate=False,
+        )
+        return jax.nn.sigmoid(
+            jnp.tensordot(h, mlp_params["w3"], axes=([2], [0])) + mlp_params["b3"]
+        )
 
     def decode(self, latent_codes: np.ndarray) -> np.ndarray:
         """uint8 latent codes → [S, S, 3] image in [0, 1]; the vectorized

@@ -97,3 +97,30 @@ def test_pixel_pos_pe_variant():
     rec = tr.reconstruct()
     assert rec.shape == (32, 32, 3)
     assert np.all(np.isfinite(rec))
+
+
+def test_pixel_folded_decode_matches_unfolded():
+    """PixelTrainer.decode folds W1 into the latent lattice; must equal the
+    explicit patch-gather + MLP path exactly."""
+    import jax.numpy as jnp
+    from nic.models.mlp import apply_mlp
+
+    img = _toy_image(32)
+    for use_pe in (False, True):
+        tr = PixelTrainer(img, num_epochs=40, batch_pixels=64, seed=0,
+                          use_pe=use_pe, pe_channels=4)
+        for _ in range(10):
+            tr.train_step()
+        latent_codes = tr.encode()
+        z = jnp.asarray(latent_codes, jnp.float32) / 255.0
+        s = 32
+        feats = pixel_patch_features(z, s).reshape(s * s, -1)
+        if use_pe:
+            xs = jnp.repeat(jnp.arange(s), s)
+            ys = jnp.tile(jnp.arange(s), s)
+            coords = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)])
+            from nic.core.encodings import sinusoidal_pe
+            feats = jnp.concatenate([feats, sinusoidal_pe(coords, 4).T], axis=1)
+        want = np.asarray(apply_mlp(tr.params["mlp"], feats)).reshape(s, s, 3)
+        got = tr.decode(latent_codes)
+        np.testing.assert_allclose(got, want, atol=3e-6)
