@@ -76,7 +76,13 @@ def run(argv=None) -> dict:
 
     from nic.train.ntc import NTCTrainer
 
-    trainer = NTCTrainer(cfg, images)
+    mesh = None
+    if cfg.data_parallel:
+        from nic.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all visible devices, crops data-parallel
+        log(f"data parallel over mesh {mesh.shape}")
+    trainer = NTCTrainer(cfg, images, mesh=mesh)
     for g in trainer.state.fp:
         log_safe_statistics(g, log)
 

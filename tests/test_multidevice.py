@@ -68,3 +68,22 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (64, 64, 3)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+@requires_8
+def test_cli_data_parallel_flag(tmp_path):
+    from nic.data.assets import save_png
+    from nic.cli.image_compression import run
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+    p = str(tmp_path / "t.png")
+    save_png(img, p)
+    res = run([
+        f"IMAGE_PATH={p}", "IMAGE_SIZE=32", "NUM_EPOCHS=30",
+        "CROP_MIP_LEVEL=4", "NUM_CROPS=8", "FP_BITS=4",
+        "FEATURE_PYRAMID_CHANNELS=4", "PE_CHANNELS=4",
+        "HIDDEN_LAYER_CHANNELS=16", "DATA_PARALLEL=True",
+        f"OUTPUT_ROOT={tmp_path}/runs",
+    ])
+    assert np.isfinite(res["psnr"][0])
