@@ -15,7 +15,7 @@ import os
 import numpy as np
 
 from nic.core.metrics import psnr, average_psnr
-from nic.obs.log import RunLog, ScalarWriter, make_filename_by_seq
+from nic.obs.log import RunLog, ScalarWriter
 
 
 def standard_parser(description: str, **defaults) -> argparse.ArgumentParser:

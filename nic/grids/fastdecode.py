@@ -29,7 +29,7 @@ training, which doesn't commute; trainers keep the standard path).
 from __future__ import annotations
 
 import itertools
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

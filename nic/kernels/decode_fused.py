@@ -38,7 +38,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nic.core.quant import quant_range
 
 __all__ = ["decode_image_fused", "fused_rows_per_block"]
 

@@ -21,7 +21,7 @@ fp_def.py:136-144 of the reference).
 from __future__ import annotations
 
 import functools
-import math
+
 
 import jax
 import jax.numpy as jnp
