@@ -163,3 +163,25 @@ def test_movie_3d_comp_cli_with_resume(tiny_avi, tmp_path):
         "--resume_step", "19", "--output_root", root,
     ])
     assert np.isfinite(p2)
+
+
+def test_image_compression_ndarray_lut(tmp_path):
+    """npy LUT input (the reference's Multilayer_para3 datasets are npy
+    volumes, sample22-2 lineage) + CSV LUT export."""
+    from nic.cli.image_compression import run
+
+    rng = np.random.default_rng(3)
+    lut = rng.integers(0, 256, (16, 16, 16, 3)).astype(np.uint8)
+    p = str(tmp_path / "lut.npy")
+    np.save(p, lut)
+    res = run([
+        f"IMAGE_PATH={p}", "IMAGE_DIMENSION=3", "COMPRESSION_METHOD=4",
+        "IMAGE_SIZE=16", "NUM_EPOCHS=30", "CROP_MIP_LEVEL=3", "NUM_CROPS=2",
+        "FP_BITS=4", "FEATURE_PYRAMID_CHANNELS=2", "PE_CHANNELS=4",
+        "HIDDEN_LAYER_CHANNELS=16", "SAVE_LUT_CSV=True",
+        f"OUTPUT_ROOT={tmp_path}/runs",
+    ])
+    assert np.isfinite(res["psnr"][0])
+    lutdir = os.path.join(str(tmp_path / "runs"), "LUT")
+    csvs = [f for root, _, fs in os.walk(lutdir) for f in fs if f.endswith(".csv")]
+    assert csvs
