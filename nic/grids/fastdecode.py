@@ -40,8 +40,19 @@ from nic.grids.sample import EVEN_PARITY_CORNERS_3D, _g1_weights_active
 __all__ = ["precompute_first_layer", "fast_decode"]
 
 
-def _axis_take_up(plane, e: int, n: int, origin: int, axis: int):
-    """plane sampled at floor((origin + arange(n)) * 2^e) along ``axis``."""
+def _axis_take_up(plane, e: int, n: int, origin, axis: int):
+    """plane sampled at floor((origin + arange(n)) * 2^e) along ``axis``.
+
+    When the origin is a static 0 (the full-decode case) the sample pattern
+    is a pure upsample/strided-slice — reshape/broadcast and lax.slice,
+    which XLA lowers to layout ops instead of a gather."""
+    if isinstance(origin, int) and origin == 0:
+        if e < 0:
+            f = 1 << (-e)
+            up = jnp.repeat(plane, f, axis=axis)
+            return jax.lax.slice_in_dim(up, 0, n, axis=axis)
+        s = 1 << e
+        return jax.lax.slice_in_dim(plane, 0, (n - 1) * s + 1, stride=s, axis=axis)
     idx = jnp.floor(
         (jnp.arange(n, dtype=jnp.float32) + origin) * (2.0**e)
     ).astype(jnp.int32)
