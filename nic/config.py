@@ -68,6 +68,7 @@ class CompressionConfig:
     output_root: str = "runs"        # artifact root (reference wrote to cwd-relative dirs)
     save_lut_csv: bool = False       # export decoded 3D LUTs as CSV (sample22-x lineage)
     rng_impl: str = "threefry2x32"   # "rbg" = cheaper on-device bits for QAT noise
+    tf_g1_quirk: bool = True         # reference's step==2 unweighted G1 sum (readme.md:7)
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -169,6 +170,7 @@ _CLI_KEYS: dict[str, str] = {
     "OUTPUT_ROOT": "output_root",
     "SAVE_LUT_CSV": "save_lut_csv",
     "RNG_IMPL": "rng_impl",
+    "TF_G1_QUIRK": "tf_g1_quirk",
 }
 
 

@@ -99,6 +99,7 @@ def fast_decode(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool = True, ndim: int = 2,
     sparse_g0: bool = False, origin=None, n: int | None = None,
+    g1_quirk: bool = True,
 ):
     """Full (or tile) decode via the folded first layer. Returns
     [n, n(, n), 3]. ``origin``/``n`` select a tile (static python ints)."""
@@ -130,7 +131,7 @@ def fast_decode(
         t1s.append(t)
         i1s.append(i1)
         f1s.append(t - i1.astype(jnp.float32))
-    weights_on = _g1_weights_active(step)
+    weights_on = _g1_weights_active(step, g1_quirk)
     for off in itertools.product((0, 1), repeat=ndim):
         g = c1_plane
         w = None

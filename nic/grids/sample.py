@@ -97,17 +97,22 @@ def interp_weights(fracs, offset):
     return w
 
 
-def _g1_weights_active(step: float) -> bool:
+def _g1_weights_active(step: float, quirk: bool = True) -> bool:
     """The reference's weight gate (fp_def.py:136, :170, :209): weights are
     applied unless ``int(1 // (step/2)) == 1``, i.e. skipped exactly when
-    G1 coords are integral with step == 2."""
+    G1 coords are integral with step == 2. ``quirk=False`` always applies
+    weights — the likely-intended behavior the reference's readme flags as
+    a suspected G0/G1 placement issue (readme.md:7); exposed as the
+    TF_G1_QUIRK config flag (default True = reference parity)."""
+    if not quirk:
+        return True
     return int(1 // (step / 2)) != 1
 
 
-def apply_g1_weights(corners: dict, fracs, step: float):
+def apply_g1_weights(corners: dict, fracs, step: float, quirk: bool = True):
     """Σ over G1 corners, multilinearly weighted unless the step==2 quirk
     disables weighting (then the corners are summed raw)."""
-    if _g1_weights_active(step):
+    if _g1_weights_active(step, quirk):
         total = None
         for off, g in corners.items():
             w = interp_weights(fracs, off)[None]  # [1, n0, n1(,n2)]
@@ -130,6 +135,7 @@ def decoder_input(
     use_tri_pe: bool = True,
     sparse_g0: bool = False,
     dtype=jnp.float32,
+    g1_quirk: bool = True,
 ):
     """Assemble decoder-input rows for one n^ndim coordinate block.
 
@@ -167,7 +173,7 @@ def decoder_input(
     f1s = [t1 - i1.astype(dtype) for t1, i1 in zip(t1s, i1s)]
     g1_offsets = tuple(itertools.product((0, 1), repeat=ndim))
     g1_corners = corner_features(g1_grid, i1s, g1_offsets)
-    g1_sum = apply_g1_weights(g1_corners, f1s, step)  # [C, n0.. ]
+    g1_sum = apply_g1_weights(g1_corners, f1s, step, g1_quirk)  # [C, n0.. ]
 
     # PE over the continuous G1-resolution coordinates, flattened axis0-major
     mesh = jnp.meshgrid(*t1s, indexing="ij")

@@ -189,6 +189,7 @@ class NTCTrainer:
                     fp, fl, origin, step, n,
                     pe_channels=cfg.pe_channels, mip_level=lod, ndim=ndim,
                     use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
+                    g1_quirk=cfg.tf_g1_quirk,
                 )
 
             x = jax.vmap(one)(origins)  # [crops, n^ndim, F]
@@ -400,6 +401,7 @@ class NTCTrainer:
                 fp, fl, origin, step, n,
                 pe_channels=cfg.pe_channels, mip_level=mip, ndim=ndim,
                 use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
+                g1_quirk=cfg.tf_g1_quirk,
             )
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 
@@ -416,6 +418,7 @@ class NTCTrainer:
                         fp, mlp, mip, image_size=cfg.image_size,
                         mip_to_level=m2l, pe_channels=cfg.pe_channels,
                         use_tri_pe=use_tri_pe, ndim=ndim, sparse_g0=sparse_g0,
+                        g1_quirk=cfg.tf_g1_quirk,
                     )
             else:
                 def decode(fp, mlp):

@@ -146,3 +146,23 @@ def test_decoder_input_jit_vmap_grad():
     assert float(jnp.abs(grads[1]).max()) > 0
     assert float(jnp.abs(grads[2]).max()) == 0
     assert float(jnp.abs(grads[3]).max()) == 0
+
+
+def test_g1_quirk_flag():
+    """TF_G1_QUIRK=False applies bilinear weights even at step==2 (the
+    suspected-intended behavior, readme.md:7); True = reference parity."""
+    import jax.numpy as jnp
+    from nic.grids import sample
+
+    fp_np = _mk_pyramid_2d(np.random.default_rng(3), 64, 3, 2)
+    fp = tuple(jnp.asarray(g, jnp.float32) for g in fp_np)
+    kw = dict(pe_channels=4, mip_level=3, ndim=2)
+    a = np.asarray(sample.decoder_input(fp, 0, jnp.asarray([0, 1]), 2.0, 3,
+                                        g1_quirk=True, **kw))
+    b = np.asarray(sample.decoder_input(fp, 0, jnp.asarray([0, 1]), 2.0, 3,
+                                        g1_quirk=False, **kw))
+    # G1 block (features 4C..5C) differs: raw 4-sum vs weighted (= corner 00)
+    c = 3
+    assert np.abs(a[:, 4 * c : 5 * c] - b[:, 4 * c : 5 * c]).max() > 1e-3
+    # G0 blocks identical
+    np.testing.assert_allclose(a[:, : 4 * c], b[:, : 4 * c])
