@@ -148,6 +148,7 @@ def run(argv=None) -> dict:
                     "image_dimension": cfg.image_dimension,
                 },
             },
+            mlp_store_bits=cfg.mlp_store_bits,
         )
     else:
         import dataclasses

@@ -69,6 +69,7 @@ class CompressionConfig:
     save_lut_csv: bool = False       # export decoded 3D LUTs as CSV (sample22-x lineage)
     rng_impl: str = "threefry2x32"   # "rbg" = cheaper on-device bits for QAT noise
     tf_g1_quirk: bool = True         # reference's step==2 unweighted G1 sum (readme.md:7)
+    mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -171,6 +172,7 @@ _CLI_KEYS: dict[str, str] = {
     "SAVE_LUT_CSV": "save_lut_csv",
     "RNG_IMPL": "rng_impl",
     "TF_G1_QUIRK": "tf_g1_quirk",
+    "MLP_STORE_BITS": "mlp_store_bits",
 }
 
 

@@ -58,9 +58,14 @@ def save_compressed(
     pyramid,
     fp_bits: int,
     meta: dict,
+    mlp_store_bits: int = 32,
 ) -> int:
     """Write the single-file compressed artifact. Returns payload bits
-    (pyramid codes + MLP params) for bpp accounting."""
+    (pyramid codes + MLP params) for bpp accounting.
+
+    ``mlp_store_bits=16`` stores the decoder weights as float16, halving
+    the fixed per-image MLP overhead (~1.1 bpp at 512² defaults → ~0.56)
+    for a negligible PSNR cost; the loader upcasts."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays: dict = {}
     shapes = []
@@ -68,6 +73,10 @@ def save_compressed(
         codes = np.asarray(pack_grid(g, fp_bits))
         shapes.append(list(codes.shape))
         arrays[f"grid{i}"] = pack_bits(codes, fp_bits)
+    if mlp_store_bits == 16:
+        mlp_params = jax.tree.map(
+            lambda p: np.asarray(p).astype(np.float16), mlp_params
+        )
     arrays.update(_flatten_tree(mlp_params, "mlp"))
     meta = dict(meta)
     meta["fp_bits"] = fp_bits

@@ -192,3 +192,23 @@ def test_checkpoint_manager(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["w"]), 30.0)
     got = mgr.restore_latest(params)
     assert got[0] == 30
+
+
+def test_mlp_store_bits_16(tmp_path):
+    from nic.grids.pyramid import create_pyramid
+    from nic.models.mlp import init_mlp
+
+    fp, _ = create_pyramid(jax.random.PRNGKey(0), 16, 4, 4, ndim=2, no_mip=True)
+    mlp = init_mlp(jax.random.PRNGKey(1), 29, 16, 3)
+    p32 = str(tmp_path / "a32.npz")
+    p16 = str(tmp_path / "a16.npz")
+    bits32 = artifacts.save_compressed(p32, mlp, fp, 4, {})
+    bits16 = artifacts.save_compressed(p16, mlp, fp, 4, {}, mlp_store_bits=16)
+    from nic.grids.pyramid import pyramid_bits
+
+    grid_bits = pyramid_bits(fp, 4)
+    assert bits16 - grid_bits == (bits32 - grid_bits) // 2
+    mlp16, _, _ = artifacts.load_compressed(p16)
+    for k in mlp:
+        np.testing.assert_allclose(np.asarray(mlp16[k]), np.asarray(mlp[k]),
+                                   atol=2e-3)
