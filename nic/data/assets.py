@@ -56,10 +56,64 @@ def load_image_mips(path: str, image_size: int, max_mip_level: int) -> list[np.n
     return mips
 
 
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) over a RIFF chunk run."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _read_avi_raw_dib(path: str) -> np.ndarray | None:
+    """Pure-python reader for AVIs carrying uncompressed DIB video
+    ('00db' chunks, BI_RGB 24-bit) — the format of the reference's bundled
+    misty_*.avi assets. Returns [T, H, W, 3] uint8 in BGR top-down order
+    (what cv2 would produce), or None if the file is not raw-DIB."""
+    data = open(path, "rb").read()
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    strf = data.find(b"strf")
+    if strf < 0:
+        return None
+    bih = data[strf + 8 : strf + 8 + 40]  # BITMAPINFOHEADER
+    width = int.from_bytes(bih[4:8], "little", signed=True)
+    height = int.from_bytes(bih[8:12], "little", signed=True)
+    bit_count = int.from_bytes(bih[14:16], "little")
+    compression = int.from_bytes(bih[16:20], "little")
+    if compression != 0 or bit_count != 24:  # BI_RGB only
+        return None
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    frames = []
+    pos = data.find(b"movi")
+    if pos < 0:
+        return None
+    for fourcc, payload, size in _riff_chunks(data, pos + 4, len(data)):
+        if fourcc[2:4] in (b"db", b"dc") and size >= row_bytes * height:
+            raw = np.frombuffer(data, np.uint8, count=row_bytes * height,
+                                offset=payload)
+            frame = raw.reshape(height, row_bytes)[:, : width * 3]
+            frame = frame.reshape(height, width, 3)
+            frames.append(frame[::-1] if bottom_up else frame)
+    if not frames:
+        return None
+    return np.stack(frames)
+
+
 def read_clip(path: str) -> np.ndarray:
     """AVI/MP4 → [T, H, W, 3] uint8 (BGR, as the reference reads it —
     utils.py:67-80 uses raw cv2 frames; colour order round-trips through
-    the matching writer)."""
+    the matching writer).
+
+    Raw-DIB AVIs decode through the pure-python RIFF reader (this image's
+    OpenCV corrupts the heap demuxing them); everything else via cv2."""
+    if path.lower().endswith(".avi"):
+        raw = _read_avi_raw_dib(path)
+        if raw is not None:
+            return raw.astype(np.uint8)
     import cv2
 
     cap = cv2.VideoCapture(path)
