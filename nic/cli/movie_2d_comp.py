@@ -11,20 +11,12 @@ import sys
 
 from nic.cli import movie_frame_comp
 
-PROJECT = "movie_2d"
-
 
 def run(argv=None) -> float:
-    # same pipeline; distinct project name, reference-default 3.2M epochs
-    parser_defaults = ["--num_epochs", "3200000"]
     argv = list(argv) if argv is not None else sys.argv[1:]
     if not any(a.startswith("--num_epochs") for a in argv):
-        argv = parser_defaults + argv
-    movie_frame_comp.PROJECT = PROJECT
-    try:
-        return movie_frame_comp.run(argv)
-    finally:
-        movie_frame_comp.PROJECT = "movie_frame"
+        argv = ["--num_epochs", "3200000"] + argv  # reference default scale
+    return movie_frame_comp.run(argv, project="movie_2d")
 
 
 if __name__ == "__main__":

@@ -22,13 +22,13 @@ from nic.train.conv_ae import ConvAETrainer
 PROJECT = "movie_frame"
 
 
-def run(argv=None) -> float:
+def run(argv=None, project: str = PROJECT) -> float:
     parser = common.standard_parser(
         __doc__, image_path="data/misty_64_64.avi", num_bits=8,
         num_epochs=100000, latent_channels=16,
     )
     args = parser.parse_args(argv)
-    name = common.save_name(PROJECT, args)
+    name = common.save_name(project, args)
     out = lambda *p: os.path.join(args.output_root, *p)
     log = RunLog(make_filename_by_seq(out("printlog"), f"{name}.txt"))
     log(datetime.datetime.now())
@@ -43,10 +43,10 @@ def run(argv=None) -> float:
         hidden_channels=args.hidden_channels, num_epochs=args.num_epochs,
         lr=args.lr, seed=args.seed, qat_ste=args.qat_ste,
     )
-    common.maybe_resume(trainer, args, log, PROJECT)
+    common.maybe_resume(trainer, args, log, project)
     writer = ScalarWriter(out("log", name), out("log", f"{name}_scalars.csv"))
     if args.train_model:
-        common.run_training(trainer, args, log, writer, PROJECT)
+        common.run_training(trainer, args, log, writer, project)
 
     if args.save_model:
         with log.span("encode time"):

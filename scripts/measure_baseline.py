@@ -79,7 +79,14 @@ def run_convae(epochs: int = 80000) -> None:
     img = load_image_mips("data/sancho_512.png", 512, 0)[0].transpose(1, 2, 0)
     t0 = time.time()
     tr = ConvAETrainer(img, num_bits=4, num_epochs=epochs)
-    tr.train_many(epochs)
+    loss_trace = []
+    done = 0
+    while done < epochs:
+        n = min(10000, epochs - done)
+        losses = tr.train_many(n)
+        done += n
+        loss_trace.append(round(float(np.mean(losses[-100:])), 6))
+        print(f"convae step {done}: loss {loss_trace[-1]}", flush=True)
     latent = tr.encode()
     rec = tr.decode(latent)
     rec_u8 = np.clip(rec * 255, 0, 255).astype(np.uint8)
@@ -87,8 +94,8 @@ def run_convae(epochs: int = 80000) -> None:
     bpp = latent.size * 4 / (512 * 512)
     record({
         "config": "image_comp conv-AE 4-bit latent", "epochs": epochs,
-        "psnr_255": p, "bpp": bpp, "wall_s": round(time.time() - t0, 1),
-        "hardware": "TPU v5e (1 chip)",
+        "psnr_255": p, "bpp": bpp, "loss_trace_10k": loss_trace,
+        "wall_s": round(time.time() - t0, 1), "hardware": "TPU v5e (1 chip)",
     })
 
 
