@@ -149,6 +149,7 @@ def run(argv=None) -> dict:
                 },
             },
             mlp_store_bits=cfg.mlp_store_bits,
+            entropy_coded=cfg.entropy_code_grids,
         )
     else:
         import dataclasses

@@ -59,19 +59,38 @@ def save_compressed(
     fp_bits: int,
     meta: dict,
     mlp_store_bits: int = 32,
+    entropy_coded: bool = False,
 ) -> int:
     """Write the single-file compressed artifact. Returns payload bits
     (pyramid codes + MLP params) for bpp accounting.
 
     ``mlp_store_bits=16`` stores the decoder weights as float16, halving
     the fixed per-image MLP overhead (~1.1 bpp at 512² defaults → ~0.56)
-    for a negligible PSNR cost; the loader upcasts."""
+    for a negligible PSNR cost; the loader upcasts.
+
+    ``entropy_coded=True`` rANS-codes each grid's codes against its own
+    histogram (stored alongside, 2^bits ints) instead of fixed-length
+    packing — lossless, and smaller whenever the trained code distribution
+    is non-uniform. An extension past the reference, whose rate is always
+    exactly fp_bits per element."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays: dict = {}
     shapes = []
     for i, g in enumerate(pyramid):
         codes = np.asarray(pack_grid(g, fp_bits))
         shapes.append(list(codes.shape))
+        if entropy_coded:
+            from nic.io.entropy import quantize_pmf
+            from nic.native import rans_encode
+
+            flat = codes.reshape(-1)
+            hist = np.bincount(flat, minlength=2**fp_bits).astype(np.int64)
+            cdf = quantize_pmf(hist / max(1, hist.sum()))[None, :]
+            blob = rans_encode(flat.astype(np.int32),
+                               np.zeros(flat.size, np.int32), cdf)
+            arrays[f"grid{i}"] = np.frombuffer(blob, np.uint8)
+            arrays[f"hist{i}"] = hist
+            continue
         arrays[f"grid{i}"] = pack_bits(codes, fp_bits)
     if mlp_store_bits == 16:
         mlp_params = jax.tree.map(
@@ -81,10 +100,17 @@ def save_compressed(
     meta = dict(meta)
     meta["fp_bits"] = fp_bits
     meta["grid_shapes"] = shapes
+    meta["entropy_coded"] = entropy_coded
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
 
-    payload_bits = sum(int(np.prod(s)) for s in shapes) * fp_bits
+    if entropy_coded:
+        payload_bits = sum(
+            arrays[f"grid{i}"].size * 8 + arrays[f"hist{i}"].size * 32
+            for i in range(len(pyramid))
+        )
+    else:
+        payload_bits = sum(int(np.prod(s)) for s in shapes) * fp_bits
     payload_bits += sum(
         int(np.asarray(p).size) * np.asarray(p).dtype.itemsize * 8
         for p in jax.tree.leaves(mlp_params)
@@ -100,7 +126,17 @@ def load_compressed(path: str, dtype=jnp.float32):
         pyramid = []
         for i, shape in enumerate(meta["grid_shapes"]):
             count = int(np.prod(shape))
-            codes = unpack_bits(z[f"grid{i}"], fp_bits, count).reshape(shape)
+            if meta.get("entropy_coded"):
+                from nic.io.entropy import quantize_pmf
+                from nic.native import rans_decode
+
+                hist = z[f"hist{i}"]
+                cdf = quantize_pmf(hist / max(1, hist.sum()))[None, :]
+                codes = rans_decode(
+                    z[f"grid{i}"].tobytes(), np.zeros(count, np.int32), cdf
+                ).astype(np.uint8).reshape(shape)
+            else:
+                codes = unpack_bits(z[f"grid{i}"], fp_bits, count).reshape(shape)
             pyramid.append(unpack_grid(jnp.asarray(codes), fp_bits, dtype))
         mlp: dict = {}
         for key in z.files:

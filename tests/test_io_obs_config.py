@@ -212,3 +212,26 @@ def test_mlp_store_bits_16(tmp_path):
     for k in mlp:
         np.testing.assert_allclose(np.asarray(mlp16[k]), np.asarray(mlp[k]),
                                    atol=2e-3)
+
+
+def test_entropy_coded_artifact_roundtrip(tmp_path):
+    from nic.grids.pyramid import create_pyramid, pyramid_quantize_all
+    from nic.models.mlp import init_mlp
+
+    bits = 4
+    fp, _ = create_pyramid(jax.random.PRNGKey(0), 32, 4, bits, ndim=2, no_mip=True)
+    # skew the distribution so entropy < bits
+    fp = tuple(g * 0.2 for g in fp)
+    fp = pyramid_quantize_all(fp, bits)
+    mlp = init_mlp(jax.random.PRNGKey(1), 29, 16, 3)
+    p_fix = str(tmp_path / "fix.npz")
+    p_ent = str(tmp_path / "ent.npz")
+    bits_fix = artifacts.save_compressed(p_fix, mlp, fp, bits, {})
+    bits_ent = artifacts.save_compressed(p_ent, mlp, fp, bits, {},
+                                         entropy_coded=True)
+    mlp_e, fp_e, meta = artifacts.load_compressed(p_ent)
+    assert meta["entropy_coded"]
+    for a, b in zip(fp_e, fp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # skewed codes entropy-code smaller than fixed-length packing
+    assert bits_ent < bits_fix
