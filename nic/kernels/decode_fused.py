@@ -1,5 +1,11 @@
-"""Fused NTC decode kernel (Pallas/TPU): coords → PE → G0/G1 gather+interp
-→ tiny MLP → RGB, in one kernel.
+"""Fused NTC decode kernel v1 (Pallas/TPU): coords → PE → G0/G1
+gather+interp → tiny MLP → RGB, in one kernel.
+
+SUPERSEDED by decode_fused_v2 (folded first layer): v1 assembles the raw
+73-feature matrix in-kernel, which forces 12-lane (channels-last) layouts
+on every VPU op and measured far below the XLA path on-chip. Kept as the
+direct kernelization of the reference's decode graph and as the baseline
+v2 is measured against.
 
 This is the north-star fusion of the reference's decode stack
 (``Projects/image_compression.py:170-211,307-346`` feeding the 73→64→64→3
