@@ -110,6 +110,88 @@ class ConvDecoder3D(nn.Module):
         return nn.sigmoid(z)
 
 
+class MatmulEncoder2D(nn.Module):
+    """ConvEncoder2D expressed via im2col matmuls (nic.models.matmul_conv) —
+    the conv-primitive-free path for backends whose conv lowering degrades
+    training (NOTES_r1.md)."""
+
+    latent_channels: int = 8
+    hidden_channels: int = 16
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from nic.models.matmul_conv import MatmulConv
+
+        x = MatmulConv(self.hidden_channels, 3, 2, 1, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = MatmulConv(self.latent_channels, 3, 2, 1, dtype=self.dtype)(x)
+        return nn.sigmoid(x)
+
+
+class MatmulDecoder2D(nn.Module):
+    hidden_channels: int = 16
+    out_channels: int = 3
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        from nic.models.matmul_conv import MatmulConvTranspose
+
+        z = MatmulConvTranspose(self.hidden_channels, 3, 2, 1, 1, dtype=self.dtype)(z)
+        z = nn.relu(z)
+        z = MatmulConvTranspose(self.out_channels, 3, 2, 1, 1, dtype=self.dtype)(z)
+        return nn.sigmoid(z)
+
+
+class MatmulEncoder3D(nn.Module):
+    latent_channels: int = 16
+    hidden_channels: int = 32
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, H, W, 3]
+        from nic.models.matmul_conv import MatmulConv
+
+        x = MatmulConv(self.hidden_channels, 3, 2, 1, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = MatmulConv(self.latent_channels, 3, 2, 1, dtype=self.dtype)(x)
+        return nn.sigmoid(x)
+
+
+class MatmulDecoder3D(nn.Module):
+    hidden_channels: int = 32
+    out_channels: int = 3
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        from nic.models.matmul_conv import MatmulConvTranspose
+
+        z = MatmulConvTranspose(self.hidden_channels, 3, 2, 1, 1, dtype=self.dtype)(z)
+        z = nn.relu(z)
+        z = MatmulConvTranspose(self.out_channels, 3, 2, 1, 1, dtype=self.dtype)(z)
+        return nn.sigmoid(z)
+
+
+class MatmulPixelEncoder(nn.Module):
+    """PixelLatentEncoder via im2col matmuls (first conv pads 2 → the
+    (S/4 + 1)² corner lattice, pixel_comp.py:39)."""
+
+    latent_channels: int = 8
+    hidden_channels: int = 16
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from nic.models.matmul_conv import MatmulConv
+
+        x = MatmulConv(self.hidden_channels, 3, 2, 2, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = MatmulConv(self.latent_channels, 3, 2, 1, dtype=self.dtype)(x)
+        return nn.sigmoid(x)
+
+
 class PixelLatentEncoder(nn.Module):
     """pixel_comp encoder variant: first conv pads 2, producing a
     (S/4 + 1)² latent lattice so every output pixel's 2×2 patch slice

@@ -58,6 +58,9 @@ class ConvAETrainer:
         seed: int = 0,
         qat_ste: bool = False,
         dtype=jnp.float32,
+        conv_impl: str = "matmul",  # im2col matmuls by default: this image's
+        # TPU conv lowering degrades training ~8× in loss (NOTES_r1.md);
+        # "xla" selects the plain lax-conv modules
     ):
         self.num_bits = num_bits
         self.num_epochs = num_epochs
@@ -67,9 +70,19 @@ class ConvAETrainer:
         self.is_3d = image.ndim == 4
         self.image = image[None]  # batch dim
 
-        if self.is_3d:
+        if self.is_3d and conv_impl == "matmul":
+            from nic.models.autoencoder import MatmulDecoder3D, MatmulEncoder3D
+
+            enc = MatmulEncoder3D(latent_channels, hidden_channels, dtype=dtype)
+            dec = MatmulDecoder3D(hidden_channels, 3, dtype=dtype)
+        elif self.is_3d:
             enc = ConvEncoder3D(latent_channels, hidden_channels, dtype=dtype)
             dec = ConvDecoder3D(hidden_channels, 3, dtype=dtype)
+        elif conv_impl == "matmul":
+            from nic.models.autoencoder import MatmulDecoder2D, MatmulEncoder2D
+
+            enc = MatmulEncoder2D(latent_channels, hidden_channels, dtype=dtype)
+            dec = MatmulDecoder2D(hidden_channels, 3, dtype=dtype)
         else:
             enc = ConvEncoder2D(latent_channels, hidden_channels, dtype=dtype)
             dec = ConvDecoder2D(hidden_channels, 3, dtype=dtype)

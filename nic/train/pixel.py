@@ -70,6 +70,7 @@ class PixelTrainer:
         seed: int = 0,
         qat_ste: bool = False,
         dtype=jnp.float32,
+        conv_impl: str = "matmul",  # see ConvAETrainer: conv-free by default
     ):
         self.num_bits = num_bits
         self.num_epochs = num_epochs
@@ -81,7 +82,12 @@ class PixelTrainer:
         self.image = jnp.asarray(image, dtype)[None]  # [1, H, W, 3]
         self.image_size = self.image.shape[1]
 
-        self.encoder = PixelLatentEncoder(latent_channels, 16, dtype=dtype)
+        if conv_impl == "matmul":
+            from nic.models.autoencoder import MatmulPixelEncoder
+
+            self.encoder = MatmulPixelEncoder(latent_channels, 16, dtype=dtype)
+        else:
+            self.encoder = PixelLatentEncoder(latent_channels, 16, dtype=dtype)
         k1, k2, self._key = jax.random.split(jax.random.PRNGKey(seed), 3)
         enc_params = self.encoder.init(k1, self.image)
         # decoder input: 4·C latent patch (+ PE of (x, y) for pixel_pos —

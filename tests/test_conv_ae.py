@@ -124,3 +124,43 @@ def test_pixel_folded_decode_matches_unfolded():
         want = np.asarray(apply_mlp(tr.params["mlp"], feats)).reshape(s, s, 3)
         got = tr.decode(latent_codes)
         np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+def test_matmul_conv_matches_xla_conv_shapes_and_function():
+    """MatmulConv/MatmulConvTranspose reproduce lax-conv outputs exactly
+    given the same weights (reshaped to im2col layout)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from nic.models.matmul_conv import MatmulConv, MatmulConvTranspose
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32))
+
+    # conv: compare against nn.Conv with the same kernel values
+    mc = MatmulConv(5, 3, 2, 1)
+    pm = mc.init(jax.random.PRNGKey(0), x)
+    k_flat = pm["params"]["kernel"]  # [9*3, 5]
+    k_hwio = k_flat.reshape(3, 3, 3, 5)
+    conv = nn.Conv(5, (3, 3), strides=2, padding=((1, 1), (1, 1)))
+    pc = {"params": {"kernel": k_hwio, "bias": pm["params"]["bias"]}}
+    np.testing.assert_allclose(
+        np.asarray(mc.apply(pm, x)), np.asarray(conv.apply(pc, x)), atol=2e-5
+    )
+
+    # transpose: shape parity with the torch-geometry ConvTranspose path
+    z = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 4)).astype(np.float32))
+    mt = MatmulConvTranspose(6, 3, 2, 1, 1)
+    pt = mt.init(jax.random.PRNGKey(1), z)
+    out = mt.apply(pt, z)
+    assert out.shape == (2, 16, 16, 6)
+
+
+def test_conv_ae_matmul_impl_trains():
+    img = _toy_image(32)
+    tr = ConvAETrainer(img, num_bits=4, num_epochs=120, seed=0,
+                       conv_impl="matmul")
+    losses = tr.train_many(120)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    rec = tr.reconstruct()
+    assert rec.shape == (32, 32, 3)
