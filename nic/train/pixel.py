@@ -70,7 +70,10 @@ class PixelTrainer:
         seed: int = 0,
         qat_ste: bool = False,
         dtype=jnp.float32,
-        conv_impl: str = "matmul",  # see ConvAETrainer: conv-free by default
+        conv_impl: str = "xla",  # NOTE: "matmul" (im2col) faults this
+        # image's TPU worker on the pixel encoder's odd-size geometry
+        # (pad-2 first conv → 257/129 dims); lax convs stay the default
+        # here — see NOTES_r1.md
     ):
         self.num_bits = num_bits
         self.num_epochs = num_epochs
