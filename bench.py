@@ -25,25 +25,26 @@ import time
 
 import numpy as np
 
-IMAGE_SIZE = 512
+IMAGE_SIZE = 512        # reference-default size (pallas correctness gate)
+BENCH_SIZE = 2048       # headline size: compute-dominated, tunnel-noise-free
 CHANNELS, PE, HIDDEN = 12, 6, 64
 
 
-def _setup():
+def _setup(image_size: int = IMAGE_SIZE):
     import jax
 
     from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
     from nic.models.mlp import init_mlp
 
-    base = IMAGE_SIZE // 4
+    base = image_size // 4
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     fp, _ = create_pyramid(k1, base, CHANNELS, num_bits=8, ndim=2, no_mip=True)
-    mip_to_level = pyramid_mip_levels(IMAGE_SIZE, base, no_mip=True)
+    mip_to_level = pyramid_mip_levels(image_size, base, no_mip=True)
     mlp = init_mlp(k2, CHANNELS * 5 + PE * 2 + 1, HIDDEN, 3)
     return fp, mlp, mip_to_level
 
 
-def _throughput(fn, *args, iters: int = 50, warmup: int = 5) -> float:
+def _throughput(fn, *args, npix: int, iters: int = 30, warmup: int = 5) -> float:
     """Median GPix/s over ``iters`` timed calls (each blocked)."""
     import jax
 
@@ -55,18 +56,17 @@ def _throughput(fn, *args, iters: int = 50, warmup: int = 5) -> float:
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
-    npix = IMAGE_SIZE * IMAGE_SIZE
     return npix / float(np.median(times)) / 1e9
 
 
-def bench_xla(dtype=None) -> float:
+def bench_xla(dtype=None, image_size: int = IMAGE_SIZE) -> float:
     import jax
     import jax.numpy as jnp
 
     from nic.grids.sample import decoder_input
     from nic.models.mlp import apply_mlp
 
-    fp, mlp, _ = _setup()
+    fp, mlp, _ = _setup(image_size)
     if dtype is not None:
         fp = tuple(g.astype(dtype) for g in fp)
         mlp = jax.tree.map(lambda p: p.astype(dtype), mlp)
@@ -74,33 +74,33 @@ def bench_xla(dtype=None) -> float:
     @jax.jit
     def xla_decode(fp, mlp):
         x = decoder_input(
-            fp, 0, jnp.zeros((2,), jnp.int32), 0.25, IMAGE_SIZE,
+            fp, 0, jnp.zeros((2,), jnp.int32), 0.25, image_size,
             pe_channels=PE, mip_level=0, ndim=2, use_tri_pe=True,
             dtype=dtype or jnp.float32,
         )
-        return apply_mlp(mlp, x).reshape(IMAGE_SIZE, IMAGE_SIZE, 3)
+        return apply_mlp(mlp, x).reshape(image_size, image_size, 3)
 
-    return _throughput(xla_decode, fp, mlp)
+    return _throughput(xla_decode, fp, mlp, npix=image_size * image_size)
 
 
-def bench_fast(dtype=None) -> float:
+def bench_fast(dtype=None, image_size: int = IMAGE_SIZE) -> float:
     """Folded-first-layer decode (nic.grids.fastdecode)."""
     import jax
 
     from nic.grids.fastdecode import fast_decode
 
-    fp, mlp, mip_to_level = _setup()
+    fp, mlp, mip_to_level = _setup(image_size)
     if dtype is not None:
         fp = tuple(g.astype(dtype) for g in fp)
         mlp = jax.tree.map(lambda p: p.astype(dtype), mlp)
 
     fn = jax.jit(
         lambda fp, mlp: fast_decode(
-            fp, mlp, 0, image_size=IMAGE_SIZE, mip_to_level=mip_to_level,
+            fp, mlp, 0, image_size=image_size, mip_to_level=mip_to_level,
             pe_channels=PE, use_tri_pe=True, ndim=2,
         )
     )
-    return _throughput(fn, fp, mlp)
+    return _throughput(fn, fp, mlp, npix=image_size * image_size)
 
 
 def bench_pallas(version: int = 2, dtype=None) -> float:
@@ -155,6 +155,11 @@ def main() -> None:
 
     import jax.numpy as jnp
 
+    # headline: 2048² (compute-dominated; 512² is dominated by per-dispatch
+    # tunnel latency and jitters ±50%)
+    xla_big = bench_xla(image_size=BENCH_SIZE)
+    fast_big = bench_fast(image_size=BENCH_SIZE)
+    fast_bf16_big = bench_fast(jnp.bfloat16, image_size=BENCH_SIZE)
     xla_gpix = bench_xla()
     fast_gpix = bench_fast()
     fast_bf16_gpix = bench_fast(jnp.bfloat16)
@@ -162,7 +167,9 @@ def main() -> None:
     pallas_gpix = None
     pallas_bf16_gpix = None
     pallas_note = None
-    if os.environ.get("NIC_BENCH_PALLAS", "1") == "1":
+    # off by default: the hand kernels are known layout-bound (BASELINE.md);
+    # set NIC_BENCH_PALLAS=1 to re-measure them
+    if os.environ.get("NIC_BENCH_PALLAS", "0") == "1":
         # subprocess + timeout so a pathological Mosaic compile can't hang
         # the driver's bench run
         try:
@@ -183,18 +190,20 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             pallas_note = f"{type(e).__name__}: {e}"
 
-    best = max(xla_gpix, fast_gpix, fast_bf16_gpix,
-               pallas_gpix or 0.0, pallas_bf16_gpix or 0.0)
+    best_big = max(xla_big, fast_big, fast_bf16_big)
     result = {
-        "metric": "ntc_decode_throughput_512px",
-        "value": round(best, 4),
+        "metric": "ntc_decode_throughput_2048px",
+        "value": round(best_big, 4),
         "unit": "GPix/s",
         # baseline = the unfused XLA graph (the shape of the reference's
         # own decode); the reference publishes no numbers (BASELINE.md)
-        "vs_baseline": round(best / xla_gpix, 3),
-        "xla_gpix_s": round(xla_gpix, 4),
-        "fast_gpix_s": round(fast_gpix, 4),
-        "fast_bf16_gpix_s": round(fast_bf16_gpix, 4),
+        "vs_baseline": round(best_big / xla_big, 3),
+        "xla_2048_gpix_s": round(xla_big, 4),
+        "fast_2048_gpix_s": round(fast_big, 4),
+        "fast_bf16_2048_gpix_s": round(fast_bf16_big, 4),
+        "xla_512_gpix_s": round(xla_gpix, 4),
+        "fast_512_gpix_s": round(fast_gpix, 4),
+        "fast_bf16_512_gpix_s": round(fast_bf16_gpix, 4),
     }
     if pallas_gpix is not None:
         result["pallas_gpix_s"] = round(pallas_gpix, 4)
