@@ -58,16 +58,25 @@ def logistic_bits(z, mu, log_s):
     return -jnp.log2(jnp.maximum(upper - lower, 1e-12))
 
 
+# transforms use im2col matmul convs (nic.models.matmul_conv): on this
+# image's TPU backend the conv primitive degrades TRAINING convergence
+# badly (root-caused in NOTES_r1.md / BASELINE.md). Downsampling convs are
+# k5 s2 pad2 (symmetric-pad twin of SAME); upsampling uses k4 s2 —
+# exactly 2× and checkerboard-free.
+
+
 class Analysis(nn.Module):
     n: int = 128
     m: int = 192
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, 3] → [B, H/16, W/16, M]
+        from nic.models.matmul_conv import MatmulConv
+
         for ch in (self.n, self.n, self.n):
-            x = nn.Conv(ch, (5, 5), strides=2, padding="SAME")(x)
+            x = MatmulConv(ch, 5, 2, 2)(x)
             x = nn.gelu(x)
-        return nn.Conv(self.m, (5, 5), strides=2, padding="SAME")(x)
+        return MatmulConv(self.m, 5, 2, 2)(x)
 
 
 class Synthesis(nn.Module):
@@ -75,10 +84,12 @@ class Synthesis(nn.Module):
 
     @nn.compact
     def __call__(self, y):  # [B, H/16, W/16, M] → [B, H, W, 3]
+        from nic.models.matmul_conv import MatmulConvTranspose
+
         for ch in (self.n, self.n, self.n):
-            y = nn.ConvTranspose(ch, (5, 5), strides=(2, 2), padding="SAME")(y)
+            y = MatmulConvTranspose(ch, 4, 2, 1, 0)(y)
             y = nn.gelu(y)
-        return nn.ConvTranspose(3, (5, 5), strides=(2, 2), padding="SAME")(y)
+        return MatmulConvTranspose(3, 4, 2, 1, 0)(y)
 
 
 class HyperAnalysis(nn.Module):
@@ -86,11 +97,13 @@ class HyperAnalysis(nn.Module):
 
     @nn.compact
     def __call__(self, y):  # [B, h, w, M] → [B, h/4, w/4, N]
-        z = nn.Conv(self.n, (3, 3), padding="SAME")(jnp.abs(y))
+        from nic.models.matmul_conv import MatmulConv
+
+        z = MatmulConv(self.n, 3, 1, 1)(jnp.abs(y))
         z = nn.gelu(z)
-        z = nn.Conv(self.n, (5, 5), strides=2, padding="SAME")(z)
+        z = MatmulConv(self.n, 5, 2, 2)(z)
         z = nn.gelu(z)
-        return nn.Conv(self.n, (5, 5), strides=2, padding="SAME")(z)
+        return MatmulConv(self.n, 5, 2, 2)(z)
 
 
 class HyperSynthesis(nn.Module):
@@ -99,11 +112,13 @@ class HyperSynthesis(nn.Module):
 
     @nn.compact
     def __call__(self, z):  # [B, h/4, w/4, N] → σ [B, h, w, M]
-        s = nn.ConvTranspose(self.n, (5, 5), strides=(2, 2), padding="SAME")(z)
+        from nic.models.matmul_conv import MatmulConv, MatmulConvTranspose
+
+        s = MatmulConvTranspose(self.n, 4, 2, 1, 0)(z)
         s = nn.gelu(s)
-        s = nn.ConvTranspose(self.n, (5, 5), strides=(2, 2), padding="SAME")(s)
+        s = MatmulConvTranspose(self.n, 4, 2, 1, 0)(s)
         s = nn.gelu(s)
-        s = nn.Conv(self.m, (3, 3), padding="SAME")(s)
+        s = MatmulConv(self.m, 3, 1, 1)(s)
         return jnp.exp(s)  # positive scales
 
 
