@@ -198,7 +198,14 @@ class NTCTrainer:
             x = shard_batch(x, mesh, data_pixel_spec(1))
             x = x.reshape(num_crops * n**ndim, -1)
             if not frozen:
-                x = x + qat_noise(noise_key, x.shape, cfg.fp_bits, dtype)
+                # QAT noise must be added in fp32: at FP_BITS=8 its amplitude
+                # (2^-9) is below bf16 resolution near 0.5 (ε≈2^-8), so a
+                # bf16 activation silently drops it and QAT degenerates.
+                # The MXU still runs the matmuls in bf16 passes (DEFAULT
+                # precision), so this costs little.
+                x = x.astype(jnp.float32) + qat_noise(
+                    noise_key, x.shape, cfg.fp_bits, jnp.float32
+                )
             return apply_mlp(mlp, x)
 
         def targets_of(origins):
