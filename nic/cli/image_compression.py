@@ -88,6 +88,21 @@ def run(argv=None) -> dict:
 
     import time
 
+    # preemption-safe checkpoints (params + optimizer state + step), kept
+    # alongside the interval artifacts; TF_RESUME=True continues from the
+    # newest one — the segmented-run pattern for flaky chips (NOTES_r1.md)
+    from nic.io.artifacts import CheckpointManager
+
+    # epoch-count-agnostic checkpoint key: the same asset/method/bits run
+    # resumes whether re-launched identically (stall recovery) or with a
+    # larger NUM_EPOCHS (run extension)
+    ckpt_key = (f"{cfg.project_name}_{cfg.basename}_{cfg.compression_method}_"
+                f"{cfg.fp_bits}_{cfg.mlp_num_dtype}")
+    ckpt_mgr = CheckpointManager(out("ckpt", ckpt_key), keep=2)
+    if cfg.tf_resume and ckpt_mgr.latest():
+        trainer.load_checkpoint(ckpt_mgr.latest())
+        log(f"resumed from {ckpt_mgr.latest()} at step {trainer.state.step}")
+
     if cfg.tf_train_model:
         with log.span("train time"):
             # chunked compiled training: one device dispatch per
@@ -132,6 +147,10 @@ def run(argv=None) -> dict:
                         trainer.state.mlp, trainer.state.fp, cfg.fp_bits,
                         {"save_name": cfg.save_name, "epoch": step - 1},
                     )
+                if step % cfg.interval_print == 0:
+                    # resumable snapshot (params + opt state) each interval
+                    trainer.save_checkpoint(ckpt_mgr.path_for(step))
+                    ckpt_mgr.prune()
         for g in trainer.state.fp:
             log_safe_statistics(g, log)
         trainer.freeze_and_quantize()

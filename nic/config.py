@@ -71,6 +71,7 @@ class CompressionConfig:
     tf_g1_quirk: bool = True         # reference's step==2 unweighted G1 sum (readme.md:7)
     mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
     entropy_code_grids: bool = False  # rANS-code grid codes vs fixed-length packing
+    tf_resume: bool = False          # resume training from the newest checkpoint
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -175,6 +176,7 @@ _CLI_KEYS: dict[str, str] = {
     "TF_G1_QUIRK": "tf_g1_quirk",
     "MLP_STORE_BITS": "mlp_store_bits",
     "ENTROPY_CODE_GRIDS": "entropy_code_grids",
+    "TF_RESUME": "tf_resume",
 }
 
 

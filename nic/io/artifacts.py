@@ -204,13 +204,22 @@ class CheckpointManager:
                     pass
         return sorted(out)
 
+    def path_for(self, step: int) -> str:
+        """Checkpoint path for ``step`` (for writers that serialize their
+        own composite state, e.g. NTCTrainer.save_checkpoint); call
+        :meth:`prune` afterwards to apply retention."""
+        return self._path(step)
+
+    def prune(self) -> None:
+        for old in self.steps()[: -self.keep]:
+            os.remove(self._path(old))
+
     def save(self, step: int, params, opt_state=None, extra: dict | None = None) -> str:
         path = self._path(step)
         tmp = path + ".tmp.npz"
         save_checkpoint(tmp, step, params, opt_state, extra)
         os.replace(tmp, path)
-        for old in self.steps()[: -self.keep]:
-            os.remove(self._path(old))
+        self.prune()
         return path
 
     def latest(self) -> str | None:

@@ -185,3 +185,27 @@ def test_image_compression_ndarray_lut(tmp_path):
     lutdir = os.path.join(str(tmp_path / "runs"), "LUT")
     csvs = [f for root, _, fs in os.walk(lutdir) for f in fs if f.endswith(".csv")]
     assert csvs
+
+
+def test_image_compression_resume(tiny_png, tmp_path):
+    """TF_RESUME continues from the newest checkpoint: a run killed at 40
+    steps resumes and finishes identically-shaped to an uninterrupted one."""
+    from nic.cli.image_compression import run
+
+    base = [
+        f"IMAGE_PATH={tiny_png}", "IMAGE_SIZE=32", "CROP_MIP_LEVEL=4",
+        "NUM_CROPS=2", "FP_BITS=4", "FEATURE_PYRAMID_CHANNELS=4",
+        "PE_CHANNELS=4", "HIDDEN_LAYER_CHANNELS=16", "INTERVAL_PRINT=20",
+        f"OUTPUT_ROOT={tmp_path}/runs",
+    ]
+    # phase 1: "preempted" run — only 40 of the eventual epochs
+    run(base + ["NUM_EPOCHS=40"])
+    ckpt_root = os.path.join(str(tmp_path / "runs"), "ckpt")
+    assert os.path.isdir(ckpt_root)
+    # phase 2: resume to 80 (num_epochs larger, TF_RESUME picks up step 40)
+    res = run(base + ["NUM_EPOCHS=80", "TF_RESUME=True"])
+    assert np.isfinite(res["psnr"][0])
+    # the printlog of the second run must record the resume
+    import glob
+    logs = sorted(glob.glob(os.path.join(str(tmp_path / "runs"), "printlog", "*_80_*.txt")))
+    assert logs and "resumed from" in open(logs[-1]).read()
