@@ -41,18 +41,33 @@ def run(argv=None):
         # infer 2D size from the G0 grid: base = size-1, image = 4*base
         image_size = (fp[0].shape[1] - 1) * 4
     pe_channels = cfg_meta.get("pe_channels", 6)
-    use_tri_pe = cfg_meta.get("tf_use_tri_pe", True)
     no_mip = cfg_meta.get("tf_no_mip", len(fp) == 2)
     base = fp[0].shape[1] - 1
     mip_to_level = pyramid_mip_levels(image_size, base, no_mip)
     ndim = fp[0].ndim - 1
+    # decode-graph switches come from the SAME rule the trainer used
+    # (method 4 → sparse G0 + sinusoidal PE; 3D method 3 → triangular),
+    # not the raw TF_USE_TRI_PE flag — a method-3 3D artifact trained with
+    # TF_USE_TRI_PE=False must still decode with triangular PE
+    from nic.grids.sample import effective_pe_flags
+
+    use_tri_pe, sparse_g0 = effective_pe_flags(
+        cfg_meta.get("compression_method", 1 if ndim == 2 else 3),
+        ndim, cfg_meta.get("tf_use_tri_pe", True),
+    )
 
     mip = args.mip
     fl = mip_to_level[mip]
     step = 2.0 ** (mip - (fl + 1) * 2)
     n = image_size // (2**mip)
 
-    if args.backend == "pallas" and ndim == 2:
+    if args.backend == "pallas":
+        if ndim != 2 or sparse_g0:
+            raise SystemExit(
+                "--backend pallas supports 2D dense-G0 artifacts only "
+                f"(this one: ndim={ndim}, sparse_g0={sparse_g0}); "
+                "use --backend fast"
+            )
         from nic.kernels.decode_fused import decode_image_fused
 
         decode = jax.jit(
@@ -68,6 +83,7 @@ def run(argv=None):
             lambda fp, mlp: fast_decode(
                 fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
                 pe_channels=pe_channels, use_tri_pe=use_tri_pe, ndim=ndim,
+                sparse_g0=sparse_g0,
             )
         )
     else:
@@ -76,7 +92,7 @@ def run(argv=None):
             x = decoder_input(
                 fp, fl, jnp.zeros((ndim,), jnp.int32), step, n,
                 pe_channels=pe_channels, mip_level=mip, ndim=ndim,
-                use_tri_pe=use_tri_pe,
+                use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
             )
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 

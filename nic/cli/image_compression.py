@@ -24,9 +24,7 @@ from nic.config import CompressionConfig, config_echo, parse_overrides
 from nic.core.metrics import psnr, average_psnr
 from nic.core.quant import quantize_to_bit
 from nic.data import assets
-from nic.grids.pyramid import pyramid_bits
 from nic.io.artifacts import load_compressed, save_compressed
-from nic.models.mlp import mlp_param_bits
 from nic.obs.log import RunLog, ScalarWriter, log_safe_statistics, make_filename_by_seq
 
 
@@ -99,9 +97,18 @@ def run(argv=None) -> dict:
     ckpt_key = (f"{cfg.project_name}_{cfg.basename}_{cfg.compression_method}_"
                 f"{cfg.fp_bits}_{cfg.mlp_num_dtype}")
     ckpt_mgr = CheckpointManager(out("ckpt", ckpt_key), keep=2)
-    if cfg.tf_resume and ckpt_mgr.latest():
-        trainer.load_checkpoint(ckpt_mgr.latest())
-        log(f"resumed from {ckpt_mgr.latest()} at step {trainer.state.step}")
+    if cfg.tf_resume:
+        # newest-first with fallback: writes are atomic, but a snapshot can
+        # still be bad (disk error, older format) — never let one dead file
+        # kill the resume when an older good one exists
+        for ckpt_path in ckpt_mgr.paths_newest_first():
+            try:
+                trainer.load_checkpoint(ckpt_path)
+            except Exception as e:  # noqa: BLE001 — any unreadable snapshot
+                log(f"checkpoint {ckpt_path} unreadable ({e!r}); trying older")
+                continue
+            log(f"resumed from {ckpt_path} at step {trainer.state.step}")
+            break
 
     if cfg.tf_train_model:
         with log.span("train time"):
@@ -173,11 +180,15 @@ def run(argv=None) -> dict:
     else:
         import dataclasses
 
+        from nic.io.artifacts import compressed_num_bits
+
         mlp, fp, _ = load_compressed(artifact, trainer.dtype)
         trainer.state = dataclasses.replace(
             trainer.state, mlp=mlp, fp=fp, frozen=True
         )
-        payload_bits = pyramid_bits(fp, cfg.fp_bits) + mlp_param_bits(mlp)
+        # payload from what the artifact actually stores (entropy-coded
+        # blobs, fp16 MLP weights), not the upcast in-memory params
+        payload_bits = compressed_num_bits(artifact)
 
     # per-mip decode + export + PSNR (image_compression.py:398-427, 482-489)
     results = {"psnr": [], "psnr_255": [], "bpp": None}

@@ -137,12 +137,16 @@ def code_dtype(bits: int):
 
 
 def pack_bits(codes: np.ndarray, bits: int) -> np.ndarray:
-    """Pack an array of b-bit codes (any shape) into a flat uint8 byte stream."""
+    """Pack an array of b-bit codes (any shape) into a flat uint8 byte stream.
+
+    Layout matches the native ``nic_pack_bits`` exactly (so artifacts are
+    interchangeable between builds): ``per_byte = 8 // bits`` codes per
+    byte, code i at bit offset ``i*bits`` — for bits that don't divide 8
+    (3, 5, 6, 7) the top bits of each byte are simply unused.
+    """
     codes = np.asarray(codes).reshape(-1)
-    if bits == 8:
+    if bits >= 8:
         return codes.astype(np.uint8)
-    if 8 % bits != 0:
-        raise ValueError(f"bits={bits} must divide 8")
     per_byte = 8 // bits
     pad = (-len(codes)) % per_byte
     if pad:
@@ -157,7 +161,7 @@ def pack_bits(codes: np.ndarray, bits: int) -> np.ndarray:
 def unpack_bits(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`; returns ``count`` codes as uint8."""
     packed = np.asarray(packed, dtype=np.uint8).reshape(-1)
-    if bits == 8:
+    if bits >= 8:
         return packed[:count]
     per_byte = 8 // bits
     mask = (1 << bits) - 1

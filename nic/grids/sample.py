@@ -46,8 +46,31 @@ __all__ = [
     "interp_weights",
     "apply_g1_weights",
     "decoder_input",
+    "effective_pe_flags",
     "EVEN_PARITY_CORNERS_3D",
 ]
+
+
+def effective_pe_flags(compression_method: int, ndim: int,
+                       tf_use_tri_pe: bool) -> tuple[bool, bool]:
+    """The one place the (use_tri_pe, sparse_g0) decode-graph switches are
+    derived from (COMPRESSION_METHOD, dimension, TF_USE_TRI_PE) — shared by
+    the trainer and the decoder-only runtime so artifacts always decode
+    with the graph they were trained with.
+
+    Reference semantics: method 4 uses the sparse 4-corner G0 and hardcodes
+    sinusoidal PE (fp_def.py:187-223, :208); 3D method 3 uses triangular PE
+    (fp_def.py:148-184); otherwise TF_USE_TRI_PE decides (2D,
+    fp_def.py:132-135).
+    """
+    sparse_g0 = compression_method == 4
+    if sparse_g0:
+        use_tri_pe = False
+    elif ndim == 3:
+        use_tri_pe = True
+    else:
+        use_tri_pe = bool(tf_use_tri_pe)
+    return use_tri_pe, sparse_g0
 
 # method-4 sparse G0: the four even-parity cube corners, in the reference's
 # order (fp_def.py:107-112 under the coordinate convention above)

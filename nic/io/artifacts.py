@@ -43,6 +43,23 @@ __all__ = [
 ]
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez to a tmp file in the same dir, then os.replace into place.
+
+    Every artifact/checkpoint write goes through here so a preemption or
+    kill mid-write (exactly the scenario TF_RESUME targets) can never
+    leave a truncated file at the final path.
+    """
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"  # keep the .npz suffix so savez doesn't append
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def _flatten_tree(tree, prefix: str) -> dict:
     flat = {}
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -102,7 +119,7 @@ def save_compressed(
     meta["grid_shapes"] = shapes
     meta["entropy_coded"] = entropy_coded
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    _atomic_savez(path, **arrays)
 
     if entropy_coded:
         payload_bits = sum(
@@ -146,10 +163,19 @@ def load_compressed(path: str, dtype=jnp.float32):
 
 
 def compressed_num_bits(path: str) -> int:
-    """True payload bits of a saved artifact (grids + MLP)."""
+    """True payload bits of a saved artifact, computed from what is
+    actually stored: entropy-coded blob sizes + histogram overhead when
+    ``entropy_coded``, fixed-length code bits otherwise, plus the MLP
+    params at their stored dtype (fp16 under MLP_STORE_BITS=16)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
-        bits = sum(int(np.prod(s)) for s in meta["grid_shapes"]) * meta["fp_bits"]
+        if meta.get("entropy_coded"):
+            bits = sum(
+                int(z[f"grid{i}"].size) * 8 + int(z[f"hist{i}"].size) * 32
+                for i in range(len(meta["grid_shapes"]))
+            )
+        else:
+            bits = sum(int(np.prod(s)) for s in meta["grid_shapes"]) * meta["fp_bits"]
         for key in z.files:
             if key.startswith("mlp/"):
                 bits += z[key].size * z[key].dtype.itemsize * 8
@@ -169,14 +195,14 @@ def load_latent(path: str, num_bits: int, dtype=jnp.float32):
 
 
 def save_checkpoint(path: str, step: int, params, opt_state=None, extra: dict | None = None) -> None:
-    """Step-tagged training snapshot (npz of flattened pytrees)."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    """Step-tagged training snapshot (npz of flattened pytrees).
+    Atomic (tmp + replace) so a mid-write kill never corrupts a resume."""
     arrays = _flatten_tree(params, "params")
     if opt_state is not None:
         arrays.update(_flatten_tree(opt_state, "opt"))
     meta = {"step": step, **(extra or {})}
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    _atomic_savez(path, **arrays)
 
 
 class CheckpointManager:
@@ -216,15 +242,19 @@ class CheckpointManager:
 
     def save(self, step: int, params, opt_state=None, extra: dict | None = None) -> str:
         path = self._path(step)
-        tmp = path + ".tmp.npz"
-        save_checkpoint(tmp, step, params, opt_state, extra)
-        os.replace(tmp, path)
+        save_checkpoint(path, step, params, opt_state, extra)  # atomic
         self.prune()
         return path
 
     def latest(self) -> str | None:
         steps = self.steps()
         return self._path(steps[-1]) if steps else None
+
+    def paths_newest_first(self) -> list[str]:
+        """All retained checkpoint paths, newest first — resume loaders
+        should walk this list so an unreadable newest snapshot falls back
+        to the previous good one."""
+        return [self._path(s) for s in reversed(self.steps())]
 
     def restore_latest(self, params_template, opt_template=None):
         path = self.latest()

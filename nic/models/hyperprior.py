@@ -16,8 +16,9 @@ BASELINE.json's north star — a Ballé-style scale hyperprior:
 Training relaxes quantization to additive uniform noise (the same trick
 the reference uses for its fixed-rate QAT, image_comp.py:88-91) and
 minimizes R + λ·255²·D. Rates are exact code lengths under the priors
-(−log2 of the noise-relaxed likelihoods); bitstream entropy coding is
-host-side future work — rate estimates are what the eval reports.
+(−log2 of the noise-relaxed likelihoods); the real host-side bitstream
+(rANS over the prior CDF tables, nic/io/entropy.py) round-trips in
+tests/test_hyperprior.py and its measured size matches the estimate.
 
 All transforms are flax.linen with NHWC layouts; GELU in place of GDN
 (GDN's per-channel normalization is a poor fit for the MXU; GELU convs

@@ -16,10 +16,36 @@ _SO_PATH = os.path.join(os.path.dirname(__file__), "libnic_native.so")
 _RANS_PATH = os.path.join(os.path.dirname(__file__), "librans.so")
 _lib = None
 _rans = None
+_build_attempted = False
+
+
+def _ensure_built() -> None:
+    """Build the .so's from the checked-in C++ sources on first use.
+
+    Binaries are NOT vendored in the repo (reviewers can't verify a binary
+    against its source); `make -C nic/native` is cheap (<2 s) and failures
+    fall through to the numpy implementations. Set NIC_NO_NATIVE_BUILD=1
+    to skip."""
+    global _build_attempted
+    if _build_attempted or os.environ.get("NIC_NO_NATIVE_BUILD"):
+        return
+    _build_attempted = True
+    if os.path.exists(_SO_PATH) and os.path.exists(_RANS_PATH):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__)],
+            capture_output=True, timeout=120, check=False,
+        )
+    except Exception:
+        pass  # numpy fallbacks take over
 
 
 def _load():
     global _lib
+    _ensure_built()
     if _lib is None and os.path.exists(_SO_PATH):
         lib = ctypes.CDLL(_SO_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -41,6 +67,7 @@ def available() -> bool:
 
 def _load_rans():
     global _rans
+    _ensure_built()
     if _rans is None and os.path.exists(_RANS_PATH):
         lib = ctypes.CDLL(_RANS_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)

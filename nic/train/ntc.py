@@ -153,16 +153,18 @@ class NTCTrainer:
         return fl, n, step
 
     def _sparse_g0(self) -> bool:
-        return self.cfg.compression_method == 4
+        from nic.grids.sample import effective_pe_flags
+
+        return effective_pe_flags(
+            self.cfg.compression_method, self.ndim, self.cfg.tf_use_tri_pe
+        )[1]
 
     def _use_tri_pe(self) -> bool:
-        # method 4 hardcodes sinusoidal PE (fp_def.py:208); otherwise the
-        # TF_USE_TRI_PE flag decides (2D) / triangular is used (3D method 3)
-        if self._sparse_g0():
-            return False
-        if self.ndim == 3:
-            return True
-        return self.cfg.tf_use_tri_pe
+        from nic.grids.sample import effective_pe_flags
+
+        return effective_pe_flags(
+            self.cfg.compression_method, self.ndim, self.cfg.tf_use_tri_pe
+        )[0]
 
     # ------------------------------------------------------------------
     # jitted train step, specialized per (lod, frozen-phase)

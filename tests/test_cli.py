@@ -209,3 +209,30 @@ def test_image_compression_resume(tiny_png, tmp_path):
     import glob
     logs = sorted(glob.glob(os.path.join(str(tmp_path / "runs"), "printlog", "*_80_*.txt")))
     assert logs and "resumed from" in open(logs[-1]).read()
+
+
+def test_image_compression_resume_skips_corrupt_newest(tiny_png, tmp_path):
+    """A corrupt newest checkpoint (the mid-write-kill scenario) must fall
+    back to the previous good snapshot instead of crashing (ADVICE r1)."""
+    import glob
+
+    from nic.cli.image_compression import run
+
+    base = [
+        f"IMAGE_PATH={tiny_png}", "IMAGE_SIZE=32", "CROP_MIP_LEVEL=4",
+        "NUM_CROPS=2", "FP_BITS=4", "FEATURE_PYRAMID_CHANNELS=4",
+        "PE_CHANNELS=4", "HIDDEN_LAYER_CHANNELS=16", "INTERVAL_PRINT=20",
+        f"OUTPUT_ROOT={tmp_path}/runs",
+    ]
+    run(base + ["NUM_EPOCHS=40"])  # leaves checkpoints at steps 20, 40
+    ckpt_root = os.path.join(str(tmp_path / "runs"), "ckpt")
+    ckpts = sorted(glob.glob(os.path.join(ckpt_root, "*", "*.npz")))
+    assert len(ckpts) == 2
+    with open(ckpts[-1], "wb") as f:
+        f.write(b"truncated by preemption")
+    res = run(base + ["NUM_EPOCHS=60", "TF_RESUME=True"])
+    assert np.isfinite(res["psnr"][0])
+    logs = sorted(glob.glob(os.path.join(str(tmp_path / "runs"), "printlog", "*_60_*.txt")))
+    text = open(logs[-1]).read()
+    assert "unreadable" in text and "resumed from" in text
+    assert "at step 20" in text

@@ -38,3 +38,70 @@ def test_decode_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(
         rec, np.clip(np.asarray(tr.decode(0)), 0, 1), atol=1e-5
     )
+
+def _train_3d(method: int, tf_use_tri_pe: bool = True):
+    cfg = CompressionConfig(
+        image_size=16, image_dimension=3, compression_method=method,
+        crop_mip_level=3, num_crops=2, num_epochs=30, fp_bits=4,
+        feature_pyramid_channels=4, pe_channels=4, hidden_layer_channels=16,
+        tf_no_mip=True, tf_use_tri_pe=tf_use_tri_pe, seed=0,
+    )
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 1, (3, 16, 16, 16)).astype(np.float32)
+    tr = NTCTrainer(cfg, [vol])
+    tr.train_many(30)
+    tr.freeze_and_quantize()
+    return cfg, tr
+
+
+def _save_art(tmp_path, cfg, tr, name):
+    art = str(tmp_path / name)
+    save_compressed(art, tr.state.mlp, tr.state.fp, cfg.fp_bits, {
+        "config": {
+            "image_size": cfg.image_size, "pe_channels": cfg.pe_channels,
+            "tf_use_tri_pe": cfg.tf_use_tri_pe, "tf_no_mip": cfg.tf_no_mip,
+            "compression_method": cfg.compression_method,
+            "image_dimension": cfg.image_dimension,
+        },
+    })
+    return art
+
+
+def test_decode_cli_method4_sparse_g0(tmp_path):
+    """Method-4 artifacts decode standalone: sparse_g0 + sinusoidal PE must
+    be derived from the stored compression_method (ADVICE r1: previously a
+    shape error)."""
+    from nic.cli.decode import run as decode_run
+
+    cfg, tr = _train_3d(4)
+    art = _save_art(tmp_path, cfg, tr, "m4.npz")
+    for backend in ("fast", "xla"):
+        rec = decode_run([art, "--backend", backend])
+        np.testing.assert_allclose(
+            rec, np.clip(np.asarray(tr.decode(0)), 0, 1), atol=2e-5
+        )
+
+
+def test_decode_cli_method3_ignores_raw_tri_pe_flag(tmp_path):
+    """A 3D method-3 artifact trained with TF_USE_TRI_PE=False still uses
+    triangular PE (the trainer forces it); the runtime must apply the same
+    rule instead of trusting the raw flag (ADVICE r1: silent garbage)."""
+    from nic.cli.decode import run as decode_run
+
+    cfg, tr = _train_3d(3, tf_use_tri_pe=False)
+    art = _save_art(tmp_path, cfg, tr, "m3.npz")
+    rec = decode_run([art, "--backend", "fast"])
+    np.testing.assert_allclose(
+        rec, np.clip(np.asarray(tr.decode(0)), 0, 1), atol=2e-5
+    )
+
+
+def test_decode_cli_pallas_rejects_sparse_g0(tmp_path):
+    import pytest
+
+    from nic.cli.decode import run as decode_run
+
+    cfg, tr = _train_3d(4)
+    art = _save_art(tmp_path, cfg, tr, "m4b.npz")
+    with pytest.raises(SystemExit):
+        decode_run([art, "--backend", "pallas"])

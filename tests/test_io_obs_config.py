@@ -235,3 +235,75 @@ def test_entropy_coded_artifact_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     # skewed codes entropy-code smaller than fixed-length packing
     assert bits_ent < bits_fix
+
+
+def test_compressed_num_bits_entropy_coded(tmp_path):
+    """compressed_num_bits must report the actual stored payload for
+    entropy-coded artifacts (blobs + histograms), not fixed-length bits
+    (ADVICE r1)."""
+    from nic.grids.pyramid import create_pyramid
+    from nic.models.mlp import init_mlp
+
+    fp, _ = create_pyramid(jax.random.PRNGKey(0), 16, 4, 4, ndim=2, no_mip=True)
+    mlp = init_mlp(jax.random.PRNGKey(1), 29, 16, 3)
+    p = str(tmp_path / "ec.npz")
+    bits = artifacts.save_compressed(p, mlp, fp, 4, {}, entropy_coded=True)
+    assert bits == artifacts.compressed_num_bits(p)
+
+
+def test_compressed_num_bits_fp16_mlp(tmp_path):
+    """Stored-fp16 MLP weights must be counted at 16 bits even though the
+    loader upcasts to fp32 (ADVICE r1)."""
+    from nic.grids.pyramid import create_pyramid
+    from nic.models.mlp import init_mlp, mlp_param_bits
+
+    fp, _ = create_pyramid(jax.random.PRNGKey(0), 16, 4, 4, ndim=2, no_mip=True)
+    mlp = init_mlp(jax.random.PRNGKey(1), 29, 16, 3)
+    p = str(tmp_path / "h.npz")
+    bits = artifacts.save_compressed(p, mlp, fp, 4, {}, mlp_store_bits=16)
+    assert bits == artifacts.compressed_num_bits(p)
+    assert artifacts.compressed_num_bits(p) < 16 * 16 + mlp_param_bits(mlp)
+
+
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A kill mid-write must never leave a truncated file at the final
+    checkpoint path (ADVICE r1 medium)."""
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "c.npz")
+    orig_savez = np.savez
+
+    def exploding_savez(file, **arrays):
+        orig_savez(file, **arrays)
+        raise KeyboardInterrupt("simulated preemption after write, before replace")
+
+    # crash between tmp-write and replace: final path must not exist
+    monkeypatch.setattr(np, "savez", exploding_savez)
+    try:
+        artifacts.save_checkpoint(path, 1, {"w": jnp.ones((2,))})
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(np, "savez", orig_savez)
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp.npz")  # tmp cleaned up
+    artifacts.save_checkpoint(path, 2, {"w": jnp.ones((2,))})
+    assert os.path.exists(path)
+
+
+def test_checkpoint_manager_fallback_list(tmp_path):
+    import jax.numpy as jnp
+
+    mgr = artifacts.CheckpointManager(str(tmp_path / "ck"), keep=3)
+    for step in (10, 20):
+        mgr.save(step, {"w": jnp.ones((2,)) * step})
+    newest_first = mgr.paths_newest_first()
+    assert newest_first == [mgr.path_for(20), mgr.path_for(10)]
+    # corrupt the newest; a resume loop must be able to read the older one
+    with open(mgr.path_for(20), "wb") as f:
+        f.write(b"garbage")
+    import pytest
+
+    with pytest.raises(Exception):
+        artifacts.load_checkpoint(newest_first[0], {"w": jnp.ones((2,))})
+    step, params = artifacts.load_checkpoint(newest_first[1], {"w": jnp.ones((2,))})
+    assert step == 10

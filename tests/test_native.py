@@ -13,7 +13,7 @@ needs_so = pytest.mark.skipif(
 
 
 @needs_so
-@pytest.mark.parametrize("bits", [1, 2, 4, 8])
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_native_pack_matches_numpy(bits):
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 2**bits, size=10007).astype(np.uint8)
