@@ -47,6 +47,11 @@ def run(argv=None) -> dict:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--interval_print", type=int, default=500)
+    p.add_argument("--interval_checkpoint", type=int, default=2000)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest checkpoint for this "
+                        "(lam, n, m) config — segmented-run pattern for "
+                        "flaky chips")
     p.add_argument("--output_root", default="runs")
     args = p.parse_args(argv)
 
@@ -74,15 +79,38 @@ def run(argv=None) -> dict:
     )
     writer = ScalarWriter(out("log", name), out("log", f"{name}_scalars.csv"))
     rng = np.random.default_rng(args.seed + 1)
+
+    from nic.io.artifacts import CheckpointManager
+
+    # step-count-agnostic key so a stalled run resumes under a larger --steps
+    ckpt_mgr = CheckpointManager(
+        out("ckpt", f"hyperprior_lam{args.lam}_n{args.n}_m{args.m}"), keep=2
+    )
+    if args.resume:
+        for ckpt_path in ckpt_mgr.paths_newest_first():
+            try:
+                trainer.load_checkpoint(ckpt_path)
+            except Exception as e:  # noqa: BLE001
+                log(f"checkpoint {ckpt_path} unreadable ({e!r}); trying older")
+                continue
+            # the patch RNG stream restarts; statistically equivalent crops
+            rng = np.random.default_rng(args.seed + 1 + trainer.step)
+            log(f"resumed from {ckpt_path} at step {trainer.step}")
+            break
+
     with log.span("train time"):
-        for step in range(1, args.steps + 1):
+        while trainer.step < args.steps:
             batch = trainer.sample_patches(imgs, rng)
             loss, bpp, mse = trainer.train_step(batch)
+            step = trainer.step
             writer.add_scalar("Loss/rd", float(loss), step)
             writer.add_scalar("Rate/bpp", float(bpp), step)
             if step % args.interval_print == 0:
                 log(f"step {step}/{args.steps} loss {float(loss):.4f} "
                     f"bpp {float(bpp):.3f} mse {float(mse):.6f}")
+            if step % args.interval_checkpoint == 0:
+                trainer.save_checkpoint(ckpt_mgr.path_for(step))
+                ckpt_mgr.prune()
 
     res = eval_image_set(trainer, eval_paths)
     codec = HyperpriorCodec(trainer)

@@ -84,6 +84,21 @@ class HyperpriorTrainer:
         self.step += 1
         return loss, bpp, mse
 
+    def save_checkpoint(self, path: str) -> None:
+        """Atomic params+opt snapshot for segmented TPU runs (the platform
+        stalls roughly hourly on multi-hour jobs — NOTES_r1.md)."""
+        from nic.io.artifacts import save_checkpoint
+
+        save_checkpoint(path, self.step, self.params, self.opt_state,
+                        extra={"lam": self.lam})
+
+    def load_checkpoint(self, path: str) -> None:
+        from nic.io.artifacts import load_checkpoint
+
+        self.step, self.params, self.opt_state = load_checkpoint(
+            path, self.params, self.opt_state
+        )
+
     def evaluate(self, image: np.ndarray):
         """Hard-quantized PSNR/bpp on one HWC image in [0,1] (padded to a
         multiple of 64 as strided transforms require)."""

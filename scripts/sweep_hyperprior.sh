@@ -1,0 +1,26 @@
+#!/bin/sh
+# Hyperprior λ sweep on the real TPU — 4 RD points at 50k steps each.
+#
+# Segmented against the platform's ~hourly stall pattern (NOTES_r1.md):
+# each λ runs under `timeout`; on a stall the process is killed and
+# relaunched with --resume, which restores params+opt from the newest
+# checkpoint (written every 2000 steps). A λ point is done when its
+# eval JSON exists.
+cd "$(dirname "$0")/.." || exit 1
+STEPS=${STEPS:-50000}
+LAMS=${LAMS:-"0.002 0.006 0.018 0.05"}
+for LAM in $LAMS; do
+    DONE="runs/hyperprior_lam${LAM}_${STEPS}_eval.json"
+    ATTEMPT=0
+    while [ ! -f "$DONE" ] && [ $ATTEMPT -lt 8 ]; do
+        ATTEMPT=$((ATTEMPT + 1))
+        echo "=== lam=$LAM attempt $ATTEMPT $(date) ==="
+        timeout 2700 python -m nic.cli.hyperprior_comp \
+            --train_dir data --eval_dir data --steps "$STEPS" \
+            --lam "$LAM" --resume --interval_print 1000 \
+            --interval_checkpoint 2000
+        sleep 5
+    done
+done
+echo "=== sweep finished $(date) ==="
+ls -la runs/hyperprior_*_eval.json
