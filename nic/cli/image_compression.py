@@ -204,6 +204,15 @@ def run(argv=None) -> dict:
                 make_filename_by_seq(out("image", cfg.save_name), f"{cfg.save_name}_{mip}.png"),
             )
         orig = np.moveaxis(np.asarray(images[mip]), 0, -1).astype(np.float32) * 255.0
+        if orig.shape != rec_codes.shape:
+            # 3D methods 3/4 reuse the full-res volume at every mip
+            # (image_compression.py:471-477); the mip-i decode samples the
+            # volume at stride 2^i, so compare against the strided target.
+            # (The reference would crash here — its per-mip PSNR :482-489
+            # broadcasts mismatched shapes; latent defect, fixed by
+            # construction.)
+            f = orig.shape[0] // rec_codes.shape[0]
+            orig = orig[tuple(slice(None, None, f) for _ in range(orig.ndim - 1))]
         p_ref = float(psnr(orig, rec_codes.astype(np.float32)))
         p_255 = float(psnr(orig, rec_codes.astype(np.float32), max_value=255.0))
         results["psnr"].append(p_ref)

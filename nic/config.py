@@ -72,6 +72,9 @@ class CompressionConfig:
     mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
     entropy_code_grids: bool = False  # rANS-code grid codes vs fixed-length packing
     tf_resume: bool = False          # resume training from the newest checkpoint
+    div_size: int = 10               # tiled-decode granularity (decode_image div_size,
+                                     # image_compression.py:307-346): tiles/axis =
+                                     # 2^max(max_mip - mip - div_size, 0)
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -177,6 +180,7 @@ _CLI_KEYS: dict[str, str] = {
     "MLP_STORE_BITS": "mlp_store_bits",
     "ENTROPY_CODE_GRIDS": "entropy_code_grids",
     "TF_RESUME": "tf_resume",
+    "DIV_SIZE": "div_size",
 }
 
 

@@ -99,10 +99,14 @@ def fast_decode(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool = True, ndim: int = 2,
     sparse_g0: bool = False, origin=None, n: int | None = None,
-    g1_quirk: bool = True,
+    g1_quirk: bool = True, planes=None,
 ):
     """Full (or tile) decode via the folded first layer. Returns
-    [n, n(, n), 3]. ``origin``/``n`` select a tile (static python ints)."""
+    [n, n(, n), 3]. ``origin``/``n`` select a tile; origins may be static
+    python ints (origin 0 gets the pure layout-op sampling path) or traced
+    scalars (tiled decode vmaps over a lattice of origins). ``planes`` lets
+    a tiled caller pass the :func:`precompute_first_layer` result so the
+    fold is done once, not per tile."""
     fl = mip_to_level[mip_level]
     e = mip_level - (fl + 1) * 2
     channels = fp[fl * 2].shape[0]
@@ -111,9 +115,11 @@ def fast_decode(
     if origin is None:
         origin = (0,) * ndim
 
-    p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
-        fp, fl, mlp, ndim=ndim, channels=channels, pe_channels=pe_channels,
-        sparse_g0=sparse_g0,
+    p_plane, c1_plane, pe_blocks, w_lod, b1 = (
+        planes if planes is not None else precompute_first_layer(
+            fp, fl, mlp, ndim=ndim, channels=channels,
+            pe_channels=pe_channels, sparse_g0=sparse_g0,
+        )
     )
 
     # ---- G0 term: nearest sample of P at floor(t) per axis ----

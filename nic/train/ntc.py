@@ -433,35 +433,76 @@ class NTCTrainer:
                 def decode(fp, mlp):
                     return tile(fp, mlp, jnp.zeros((ndim,), jnp.int32))
         else:
-            # tile origins on a regular lattice; vmap over all tiles then
-            # stitch by reshape/transpose (2D only — 3D assets are small
-            # enough to decode in one tile at every mip)
-            assert ndim == 2, "tiled decode is 2D; 3D decodes in one tile"
+            # tile origins on a regular ndim lattice (div_size semantics of
+            # image_compression.py:307-346, :335-340 for 3D); vmap over all
+            # tiles then stitch by reshape/transpose — compile time is
+            # O(1) in the tile count
             ij = jnp.stack(
-                jnp.meshgrid(jnp.arange(div_slice), jnp.arange(div_slice),
+                jnp.meshgrid(*([jnp.arange(div_slice)] * ndim),
                              indexing="ij"),
                 axis=-1,
-            ).reshape(-1, 2)
+            ).reshape(-1, ndim)
             origins = ij * n
 
             mesh = self.mesh
+            # interleave (tile_i, intile_i) axes: 2D (0,2,1,3,4),
+            # 3D (0,3,1,4,2,5,6)
+            perm = tuple(
+                a for d in range(ndim) for a in (d, ndim + d)
+            ) + (2 * ndim,)
+
+            if cfg.decode_backend == "fast":
+                # folded-first-layer tiles: hoist the fold out of the vmap
+                from nic.grids.fastdecode import (fast_decode,
+                                                  precompute_first_layer)
+
+                m2l = self.mip_to_level
+                channels = cfg.feature_pyramid_channels
+
+                def tile_fn(fp, mlp, origin, planes):
+                    return fast_decode(
+                        fp, mlp, mip, image_size=cfg.image_size,
+                        mip_to_level=m2l, pe_channels=cfg.pe_channels,
+                        use_tri_pe=use_tri_pe, ndim=ndim, sparse_g0=sparse_g0,
+                        origin=tuple(origin[d] for d in range(ndim)), n=n,
+                        g1_quirk=cfg.tf_g1_quirk, planes=planes,
+                    )
+
+                def all_tiles(fp, mlp):
+                    planes = precompute_first_layer(
+                        fp, fl, mlp, ndim=ndim, channels=channels,
+                        pe_channels=cfg.pe_channels, sparse_g0=sparse_g0,
+                    )
+                    return jax.vmap(
+                        lambda o: tile_fn(fp, mlp, o, planes)
+                    )(origins)
+            else:
+                def all_tiles(fp, mlp):
+                    return jax.vmap(lambda o: tile(fp, mlp, o))(origins)
 
             def decode(fp, mlp):
-                tiles = jax.vmap(lambda o: tile(fp, mlp, o))(origins)
+                tiles = all_tiles(fp, mlp)
                 if mesh is not None:
                     # decode tiles data-parallel over the mesh (grids/MLP
                     # replicated; no halo needed — gathers are local)
                     from jax.sharding import PartitionSpec as P
 
-                    tiles = shard_batch(tiles, mesh, P("data", None, None, None))
-                t = tiles.reshape(div_slice, div_slice, n, n, 3)
-                return t.transpose(0, 2, 1, 3, 4).reshape(decode_size, decode_size, 3)
+                    tiles = shard_batch(
+                        tiles, mesh, P("data", *([None] * (ndim + 1)))
+                    )
+                t = tiles.reshape((div_slice,) * ndim + (n,) * ndim + (3,))
+                return t.transpose(perm).reshape((decode_size,) * ndim + (3,))
 
         return jax.jit(decode)
 
-    def decode(self, mip: int, div_size: int = 10, quantized: bool = True):
+    def decode(self, mip: int, div_size: int | None = None,
+               quantized: bool = True):
         """Decode the full asset at ``mip`` from (optionally) hard-quantized
-        grids. Returns [s, s(, s), 3] in [0, 1]."""
+        grids. Returns [s, s(, s), 3] in [0, 1]. ``div_size`` defaults to
+        the DIV_SIZE config key (reference default 10,
+        image_compression.py:307)."""
+        if div_size is None:
+            div_size = self.cfg.div_size
         key = (mip, div_size)
         if key not in self._decode_fns:
             self._decode_fns[key] = self._build_decode(mip, div_size)

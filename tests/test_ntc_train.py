@@ -169,3 +169,52 @@ def test_artifact_roundtrip_decode():
         # bpp accounting: grids at fp_bits + fp32 MLP
         grid_bits = fp_lib.pyramid_bits(tr.state.fp, cfg.fp_bits)
         assert bits > grid_bits
+
+
+def _tiled_vs_whole(method, backend, tf_no_mip=False, max_mip=4):
+    cfg = CompressionConfig(
+        image_size=32, image_dimension=3, compression_method=method,
+        crop_mip_level=3, num_crops=2, num_epochs=20, fp_bits=4,
+        feature_pyramid_channels=4, pe_channels=4, hidden_layer_channels=16,
+        tf_no_mip=tf_no_mip, max_mip_level=max_mip, seed=0,
+        decode_backend=backend,
+    )
+    vol = np.random.default_rng(2).uniform(0, 1, (3, 32, 32, 32)).astype(np.float32)
+    tr = NTCTrainer(cfg, [vol] * (cfg.effective_max_mip_level + 1))
+    for _ in range(5):
+        tr.train_step()
+    whole = np.asarray(tr.decode(0))
+    # force 2^(4-1)=8 tiles per axis → 512 tiles would be huge; use
+    # div_size=2 → 4 tiles/axis = 64 tiles of 8³
+    tiled = np.asarray(tr.decode(0, div_size=2))
+    assert whole.shape == (32, 32, 32, 3)
+    np.testing.assert_allclose(tiled, whole, atol=2e-5)
+
+
+def test_3d_tiled_decode_method3_fast():
+    """VERDICT r1 #6: the reference's div_size tiling applies to 3D too
+    (image_compression.py:335-340); tiled must equal single-tile."""
+    _tiled_vs_whole(3, "fast")
+
+
+def test_3d_tiled_decode_method3_xla():
+    _tiled_vs_whole(3, "xla")
+
+
+def test_3d_tiled_decode_method4_fast():
+    _tiled_vs_whole(4, "fast")
+
+
+def test_2d_tiled_decode_fast_backend():
+    """The fast backend now also covers the tiled path (folded planes
+    hoisted out of the tile vmap)."""
+    cfg = _tiny_cfg(tf_no_mip=False, max_mip_level=5, num_epochs=40,
+                    decode_backend="fast")
+    img = _toy_image(32)
+    mips = [img[:, :: 2**i, :: 2**i] for i in range(6)]
+    tr = NTCTrainer(cfg, mips)
+    for _ in range(5):
+        tr.train_step()
+    tiled = np.asarray(tr.decode(0, div_size=3))
+    whole = np.asarray(tr.decode(0))
+    np.testing.assert_allclose(tiled, whole, atol=2e-5)
