@@ -69,9 +69,115 @@ class MatmulConv(nn.Module):
         ) + b
 
 
+def _phase_taps(k: int, s: int, p: int, r: int):
+    """1-D polyphase geometry for output phase ``r`` of a transposed conv:
+    the kernel tap indices that land on real (non-inserted-zero) inputs,
+    and the input offset ``d`` such that out[s·u + r] = Σ_a x[u + d + a] ·
+    w[taps[a]]."""
+    pad_lo = k - 1 - p
+    j0 = (pad_lo - r) % s
+    taps = list(range(j0, k, s))
+    d = (r + j0 - pad_lo) // s
+    return taps, d
+
+
+def _conv_transpose_zero_insertion(x, w, k, s, p, op, features):
+    """Reference lowering (zero-insert + stride-1 im2col conv): exact but
+    materializes kⁿ·C patches at the UPSAMPLED resolution — kept for the
+    parity test; the polyphase path below computes the identical function
+    with s^n× less patch volume."""
+    c_in = x.shape[-1]
+    ndim = x.ndim - 2
+    up_shape = (x.shape[0],) + tuple(
+        (x.shape[1 + d] - 1) * s + 1 for d in range(ndim)
+    ) + (c_in,)
+    up = jnp.zeros(up_shape, x.dtype)
+    idx = (slice(None),) + (slice(None, None, s),) * ndim + (slice(None),)
+    up = up.at[idx].set(x)
+    pad_lo = k - 1 - p
+    pad_hi = pad_lo + op
+    pad = ((0, 0),) + ((pad_lo, pad_hi),) * ndim + ((0, 0),)
+    up = jnp.pad(up, pad)
+    patches = _im2col(up, k, 1, 0, 0)
+    return jnp.dot(patches, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _conv_transpose_polyphase(x, w, k, s, p, op, features):
+    """torch ConvTranspose(k, s, p, output_padding=op) via the exact
+    polyphase (subpixel) decomposition: each of the s^n output phases is a
+    stride-1 conv AT INPUT RESOLUTION over the ≤⌈k/s⌉^n kernel taps that
+    hit real inputs; phases are then interleaved (depth-to-space). Bitwise
+    the same function as zero-insertion + stride-1 conv, with none of the
+    multiply-by-zero work or upsampled-resolution im2col traffic — the
+    TPU-shaped lowering (the MXU sees s^n small dense dots instead of one
+    sparse large one)."""
+    c_in = x.shape[-1]
+    ndim = x.ndim - 2
+    ins = [x.shape[1 + d] for d in range(ndim)]
+    outs = [(i - 1) * s - 2 * p + k + op for i in ins]
+    u_cap = [-(-o // s) for o in outs]  # padded per-phase length
+
+    # w rows are laid out offset-major (itertools.product order), blocks
+    # of c_in rows per kernel offset — same layout as MatmulConv/_im2col
+    strides_q = [k ** (ndim - 1 - d) for d in range(ndim)]
+
+    phases = []
+    for r in itertools.product(range(s), repeat=ndim):
+        geo = [_phase_taps(k, s, p, r[d]) for d in range(ndim)]
+        o_r = [max(0, -(-(outs[d] - r[d]) // s)) for d in range(ndim)]
+        # pad x so every tap read u + d + a stays in bounds
+        pad = [(0, 0)]
+        srcs = []
+        for d in range(ndim):
+            taps, off = geo[d]
+            lo = max(0, -off)
+            hi = max(0, (o_r[d] - 1) + off + len(taps) - 1 - (ins[d] - 1))
+            pad.append((lo, hi))
+            srcs.append((taps, off + lo))
+        pad.append((0, 0))
+        xp = jnp.pad(x, pad)
+        # gather the per-phase patches: one slice per tap combination
+        parts = []
+        rows = []
+        for combo in itertools.product(*[range(len(t)) for t, _ in srcs]):
+            sl = [slice(None)]
+            q = 0
+            for d, a in enumerate(combo):
+                taps, start = srcs[d]
+                sl.append(slice(start + a, start + a + o_r[d]))
+                q += taps[a] * strides_q[d]
+            sl.append(slice(None))
+            parts.append(xp[tuple(sl)])
+            rows.append(q)
+        patches = jnp.concatenate(parts, axis=-1)
+        w_rows = jnp.concatenate(
+            [w[q * c_in : (q + 1) * c_in] for q in rows], axis=0
+        )
+        ph = jnp.dot(patches, w_rows,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+        # pad phase to the common per-phase grid for interleaving
+        ppad = [(0, 0)] + [(0, u_cap[d] - o_r[d]) for d in range(ndim)] + [(0, 0)]
+        phases.append(jnp.pad(ph, ppad))
+
+    # interleave: [s^n, B, U..., F] → [B, U1, s, U2, s, ..., F] → crop
+    st = jnp.stack(phases).reshape(
+        (s,) * ndim + (x.shape[0],) + tuple(u_cap) + (features,)
+    )
+    perm = (ndim,) + tuple(
+        a for d in range(ndim) for a in (ndim + 1 + d, d)
+    ) + (2 * ndim + 1,)
+    out = st.transpose(perm).reshape(
+        (x.shape[0],) + tuple(s * u for u in u_cap) + (features,)
+    )
+    crop = (slice(None),) + tuple(slice(0, o) for o in outs) + (slice(None),)
+    return out[crop]
+
+
 class MatmulConvTranspose(nn.Module):
     """torch ConvTranspose(k, s, p, output_padding=op) ≡ insert (s−1) zeros
-    between inputs, pad (k−1−p) [+op on the high side], stride-1 conv."""
+    between inputs, pad (k−1−p) [+op on the high side], stride-1 conv —
+    computed via the exact polyphase decomposition (see
+    :func:`_conv_transpose_polyphase`)."""
 
     features: int
     kernel: int = 3
@@ -89,18 +195,8 @@ class MatmulConvTranspose(nn.Module):
             (self.kernel**ndim * c_in, self.features), self.dtype,
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
-        s = self.stride
-        up_shape = (x.shape[0],) + tuple(
-            (x.shape[1 + d] - 1) * s + 1 for d in range(ndim)
-        ) + (c_in,)
-        up = jnp.zeros(up_shape, x.dtype)
-        idx = (slice(None),) + (slice(None, None, s),) * ndim + (slice(None),)
-        up = up.at[idx].set(x)
-        pad_lo = self.kernel - 1 - self.padding
-        pad_hi = pad_lo + self.output_padding
-        pad = ((0, 0),) + ((pad_lo, pad_hi),) * ndim + ((0, 0),)
-        up = jnp.pad(up, pad)
-        patches = _im2col(up.astype(self.dtype), self.kernel, 1, 0, 0)
-        return jnp.dot(patches, w, preferred_element_type=jnp.float32).astype(
-            self.dtype
-        ) + b
+        out = _conv_transpose_polyphase(
+            x.astype(self.dtype), w, self.kernel, self.stride, self.padding,
+            self.output_padding, self.features,
+        )
+        return out + b

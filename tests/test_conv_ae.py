@@ -164,3 +164,29 @@ def test_conv_ae_matmul_impl_trains():
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
     rec = tr.reconstruct()
     assert rec.shape == (32, 32, 3)
+
+
+def test_conv_transpose_polyphase_matches_zero_insertion():
+    """The polyphase (subpixel) transposed-conv lowering must compute the
+    exact same function as the textbook zero-insertion lowering for every
+    geometry the models use (2D/3D, the conv-AE k3s2p1op1, the hyperprior
+    k4s2p1op0, odd strides/output_padding)."""
+    import jax.numpy as jnp
+
+    from nic.models.matmul_conv import (_conv_transpose_polyphase,
+                                        _conv_transpose_zero_insertion)
+
+    rng = np.random.default_rng(0)
+    for ndim in (2, 3):
+        for (k, s, p, op) in [(4, 2, 1, 0), (3, 2, 1, 1), (5, 2, 2, 1),
+                              (3, 1, 1, 0), (4, 3, 1, 2), (2, 2, 0, 0)]:
+            c_in, f = 3, 4
+            x = jnp.asarray(
+                rng.standard_normal((2,) + (5,) * ndim + (c_in,)), jnp.float32)
+            w = jnp.asarray(
+                rng.standard_normal((k**ndim * c_in, f)), jnp.float32)
+            a = _conv_transpose_polyphase(x, w, k, s, p, op, f)
+            b = _conv_transpose_zero_insertion(x, w, k, s, p, op, f)
+            assert a.shape == b.shape, (ndim, k, s, p, op)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
