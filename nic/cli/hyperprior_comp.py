@@ -98,16 +98,30 @@ def run(argv=None) -> dict:
             log(f"resumed from {ckpt_path} at step {trainer.step}")
             break
 
+    # compiled lax.scan chunks with on-device crop sampling: one dispatch
+    # (zero per-step uploads/syncs) per interval — the per-step path moves
+    # ~6 MB/step through the tunnel and runs ~0.1 steps/s
+    staged = trainer.stage_images(imgs)
+    import time as _time
+
     with log.span("train time"):
         while trainer.step < args.steps:
-            batch = trainer.sample_patches(imgs, rng)
-            loss, bpp, mse = trainer.train_step(batch)
+            start = trainer.step
+            n = min(args.interval_print - start % args.interval_print,
+                    args.steps - start)
+            next_ckpt = ((start // args.interval_checkpoint) + 1) * args.interval_checkpoint
+            n = min(n, next_ckpt - start)
+            t0 = _time.perf_counter()
+            lh, bh, mh = trainer.train_chunk(staged, n)
+            dt = _time.perf_counter() - t0
+            for i in range(n):
+                writer.add_scalar("Loss/rd", float(lh[i]), start + i + 1)
+                writer.add_scalar("Rate/bpp", float(bh[i]), start + i + 1)
             step = trainer.step
-            writer.add_scalar("Loss/rd", float(loss), step)
-            writer.add_scalar("Rate/bpp", float(bpp), step)
             if step % args.interval_print == 0:
-                log(f"step {step}/{args.steps} loss {float(loss):.4f} "
-                    f"bpp {float(bpp):.3f} mse {float(mse):.6f}")
+                log(f"step {step}/{args.steps} loss {float(lh[-1]):.4f} "
+                    f"bpp {float(bh[-1]):.3f} mse {float(mh[-1]):.6f} "
+                    f"({n / dt:.1f} steps/s)")
             if step % args.interval_checkpoint == 0:
                 trainer.save_checkpoint(ckpt_mgr.path_for(step))
                 ckpt_mgr.prune()

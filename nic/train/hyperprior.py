@@ -84,6 +84,84 @@ class HyperpriorTrainer:
         self.step += 1
         return loss, bpp, mse
 
+    # ------------------------------------------------------------------
+    # compiled multi-step training: crops drawn ON DEVICE inside a
+    # lax.scan — one dispatch (and zero batch uploads) per chunk. The
+    # per-step path moves ~6 MB host→device and syncs three scalars per
+    # step, which through the axon tunnel is the actual bottleneck
+    # (~0.1 steps/s measured vs tens compiled).
+    # ------------------------------------------------------------------
+
+    def _scan_fn(self, chunk: int, num_images: int, img_hw):
+        key = ("scan", chunk, num_images, img_hw)
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if key not in self._scan_cache:
+            model, lam, tx = self.model, self.lam, self._tx
+            batch, patch = self.batch, self.patch
+            h, w = img_hw
+
+            def loss_fn(params, xb, key):
+                x_hat, y_bits, z_bits = model.apply(params, xb, key)
+                loss, bpp, mse = rd_loss(x_hat, xb, y_bits, z_bits, lam)
+                return loss, (bpp, mse)
+
+            def run(params, opt_state, images, key):
+                keys = jax.random.split(key, chunk)
+
+                def body(carry, subkey):
+                    prm, opt = carry
+                    k_i, k_r, k_c, k_n = jax.random.split(subkey, 4)
+                    idx = jax.random.randint(k_i, (batch,), 0, num_images)
+                    rr = jax.random.randint(k_r, (batch,), 0, h - patch + 1)
+                    cc = jax.random.randint(k_c, (batch,), 0, w - patch + 1)
+                    xb = jax.vmap(
+                        lambda i, r, c: jax.lax.dynamic_slice(
+                            images, (i, r, c, 0), (1, patch, patch, 3)
+                        )[0]
+                    )(idx, rr, cc)
+                    (loss, (bpp, mse)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(prm, xb, k_n)
+                    updates, opt = tx.update(grads, opt, prm)
+                    prm = optax.apply_updates(prm, updates)
+                    return (prm, opt), (loss, bpp, mse)
+
+                (params, opt_state), hist = jax.lax.scan(
+                    body, (params, opt_state), keys
+                )
+                return params, opt_state, hist
+
+            self._scan_cache[key] = jax.jit(run, donate_argnums=(0, 1))
+        return self._scan_cache[key]
+
+    def stage_images(self, images: list[np.ndarray]):
+        """Upload the training set once as one [N, H, W, 3] device array
+        (images smaller than the largest are tiled by edge-padding so crop
+        origins stay valid)."""
+        hs = [i.shape[0] for i in images]
+        ws = [i.shape[1] for i in images]
+        h, w = max(hs), max(ws)
+        stack = np.stack([
+            np.pad(im, ((0, h - im.shape[0]), (0, w - im.shape[1]), (0, 0)),
+                   mode="edge")
+            if im.shape[:2] != (h, w) else im
+            for im in images
+        ]).astype(np.float32)
+        return jnp.asarray(stack)
+
+    def train_chunk(self, staged_images, num_steps: int):
+        """Run ``num_steps`` compiled steps; returns (loss, bpp, mse)
+        history arrays of length ``num_steps``."""
+        n, h, w = staged_images.shape[0], staged_images.shape[1], staged_images.shape[2]
+        run = self._scan_fn(num_steps, n, (h, w))
+        self._key, sub = jax.random.split(self._key)
+        self.params, self.opt_state, hist = run(
+            self.params, self.opt_state, staged_images, sub
+        )
+        self.step += num_steps
+        return tuple(np.asarray(x) for x in hist)
+
     def save_checkpoint(self, path: str) -> None:
         """Atomic params+opt snapshot for segmented TPU runs (the platform
         stalls roughly hourly on multi-hour jobs — NOTES_r1.md)."""
