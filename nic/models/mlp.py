@@ -39,11 +39,28 @@ def init_mlp(key, in_features: int, hidden: int, out_features: int = 3,
     return {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "w3": w3, "b3": b3}
 
 
-def apply_mlp(params: dict, x):
-    """x: [N, F] → [N, 3] in (0, 1)."""
-    h = jax.nn.gelu(x @ params["w1"] + params["b1"], approximate=False)
-    h = jax.nn.gelu(h @ params["w2"] + params["b2"], approximate=False)
-    return jax.nn.sigmoid(h @ params["w3"] + params["b3"])
+def apply_mlp(params: dict, x, matmul_dtype=None):
+    """x: [N, F] → [N, 3] in (0, 1).
+
+    ``matmul_dtype`` (e.g. bf16) casts ONLY the dot inputs, accumulating
+    in fp32 — the surgical mixed-precision mode: the MXU runs the matmuls
+    at bf16 rate while biases/GELU/sigmoid (and everything upstream: grid
+    gather/interp, QAT noise) stay fp32. With ``None`` the dtype follows
+    the inputs unchanged."""
+    if matmul_dtype is None:
+        h = jax.nn.gelu(x @ params["w1"] + params["b1"], approximate=False)
+        h = jax.nn.gelu(h @ params["w2"] + params["b2"], approximate=False)
+        return jax.nn.sigmoid(h @ params["w3"] + params["b3"])
+
+    def dot(a, w):
+        return jnp.dot(a.astype(matmul_dtype), w.astype(matmul_dtype),
+                       preferred_element_type=jnp.float32)
+
+    h = jax.nn.gelu(dot(x, params["w1"]) + params["b1"].astype(jnp.float32),
+                    approximate=False)
+    h = jax.nn.gelu(dot(h, params["w2"]) + params["b2"].astype(jnp.float32),
+                    approximate=False)
+    return jax.nn.sigmoid(dot(h, params["w3"]) + params["b3"].astype(jnp.float32))
 
 
 def mlp_num_params(params: dict) -> int:

@@ -179,13 +179,19 @@ class NTCTrainer:
         num_crops = cfg.num_crops
         sparse_g0 = self._sparse_g0()
         use_tri_pe = self._use_tri_pe()
-        dtype = self.compute_dtype  # bf16 compute under mixed precision
+        # Surgical mixed precision (MLP_NUM_DTYPE=16): grid gather/interp,
+        # QAT noise, grid gradients, and grid updates all stay fp32 — the
+        # round-1 A/B showed grid-parameter gradients do not survive bf16
+        # sampling (BASELINE.md, 30.01 vs 38.97 dB @20k). Only the MLP dot
+        # products run with bf16 inputs (fp32 accumulation) on the MXU.
+        mixed = self.compute_dtype == jnp.bfloat16
+        dtype = jnp.float32 if mixed else self.compute_dtype
+        matmul_dtype = jnp.bfloat16 if mixed else None
 
         mesh = self.mesh
 
         def batch_forward(fp, mlp, origins, noise_key):
             fp = tuple(g.astype(dtype) for g in fp)
-            mlp = jax.tree.map(lambda p: p.astype(dtype), mlp)
             def one(origin):
                 return decoder_input(
                     fp, fl, origin, step, n,
@@ -203,12 +209,10 @@ class NTCTrainer:
                 # QAT noise must be added in fp32: at FP_BITS=8 its amplitude
                 # (2^-9) is below bf16 resolution near 0.5 (ε≈2^-8), so a
                 # bf16 activation silently drops it and QAT degenerates.
-                # The MXU still runs the matmuls in bf16 passes (DEFAULT
-                # precision), so this costs little.
                 x = x.astype(jnp.float32) + qat_noise(
                     noise_key, x.shape, cfg.fp_bits, jnp.float32
                 )
-            return apply_mlp(mlp, x)
+            return apply_mlp(mlp, x, matmul_dtype=matmul_dtype)
 
         def targets_of(origins):
             def one(origin):
@@ -285,23 +289,51 @@ class NTCTrainer:
             self._step_fns[key] = jax.jit(run, donate_argnums=(0, 1, 2, 3))
         return self._step_fns[key]
 
+    def _mip_scan_fn(self, frozen: bool, chunk: int):
+        """Compiled multi-step loop for LOD/mip training: the per-step LOD
+        sequence is drawn host-side (same accumulator-gate + RNG stream as
+        ``train_step``, so the sequence is identical) and fed to a
+        ``lax.scan`` whose body ``lax.switch``-es between per-LOD branches.
+        Each branch is traced once with its own static crop geometry
+        (crop n = crop_size/2^lod, its own mip image and grid level), and
+        XLA's conditional executes only the selected branch at runtime —
+        so a chunk costs one host dispatch instead of ``chunk``, at the
+        per-step cost of whichever LOD actually ran. This is what makes
+        the reference's LOD training protocol (image_compression.py:221-245,
+        sample18–21) run at compiled speed rather than per-step dispatch."""
+        key = ("mipscan", frozen, chunk)
+        if key not in self._step_fns:
+            branches = [
+                self._build_step(lod, frozen, jit=False)
+                for lod in range(self.max_mip + 1)
+            ]
+
+            def body(carry, x):
+                lod, subkey = x
+                fp, mlp, opt_fp, opt_mlp = carry
+                fp, mlp, opt_fp, opt_mlp, loss, p = jax.lax.switch(
+                    lod, branches, fp, mlp, opt_fp, opt_mlp, subkey
+                )
+                return (fp, mlp, opt_fp, opt_mlp), (loss, p)
+
+            def run(fp, mlp, opt_fp, opt_mlp, key, lods):
+                keys = jax.random.split(key, chunk)
+                carry, hist = jax.lax.scan(
+                    body, (fp, mlp, opt_fp, opt_mlp), (lods, keys)
+                )
+                return carry, hist
+
+            self._step_fns[key] = jax.jit(run, donate_argnums=(0, 1, 2, 3))
+        return self._step_fns[key]
+
     def train_many(self, num_steps: int, chunk: int = 1000):
-        """Run ``num_steps`` epochs. When the LOD bucket is constant
-        (tf_no_mip), steps run in compiled lax.scan chunks; otherwise falls
-        back to per-step dispatch. Returns (loss_hist, psnr_hist) arrays.
+        """Run ``num_steps`` epochs in compiled lax.scan chunks — one host
+        dispatch per chunk. Constant-LOD (tf_no_mip) uses the plain scan;
+        mip training scans a host-drawn LOD sequence through per-LOD
+        switch branches. Returns (loss_hist, psnr_hist) arrays.
 
         Handles the 95% freeze boundary exactly like the per-step path.
         """
-        if self.max_mip != 0:
-            losses, psnrs = [], []
-            for _ in range(num_steps):
-                loss, p, _ = self.train_step()
-                losses.append(loss)
-                psnrs.append(p)
-            return np.asarray([float(x) for x in losses]), np.asarray(
-                [float(x) for x in psnrs]
-            )
-
         s = self.state
         cfg = self.cfg
         loss_hist: list = []
@@ -319,10 +351,24 @@ class NTCTrainer:
             else:
                 n = min(remaining, chunk)
             self._key, sub = jax.random.split(self._key)
-            run = self._scan_fn(0, s.frozen, n)
-            (s.fp, s.mlp, s.opt_fp, s.opt_mlp), (lh, ph) = run(
-                s.fp, s.mlp, s.opt_fp, s.opt_mlp, sub
-            )
+            if self.max_mip == 0:
+                run = self._scan_fn(0, s.frozen, n)
+                (s.fp, s.mlp, s.opt_fp, s.opt_mlp), (lh, ph) = run(
+                    s.fp, s.mlp, s.opt_fp, s.opt_mlp, sub
+                )
+            else:
+                lods = np.asarray(
+                    [
+                        sample_lod(self._lod_rng, self._uniform_gate(),
+                                   self.max_mip)
+                        for _ in range(n)
+                    ],
+                    np.int32,
+                )
+                run = self._mip_scan_fn(s.frozen, n)
+                (s.fp, s.mlp, s.opt_fp, s.opt_mlp), (lh, ph) = run(
+                    s.fp, s.mlp, s.opt_fp, s.opt_mlp, sub, jnp.asarray(lods)
+                )
             s.step += n
             remaining -= n
             loss_hist.append(np.asarray(lh))
