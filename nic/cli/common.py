@@ -36,7 +36,22 @@ def standard_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--interval_checkpoint", type=int, default=100000)
     p.add_argument("--qat_ste", type=lambda v: v.lower() in ("true", "1"), default=False)
     p.add_argument("--output_root", default="runs")
+    p.add_argument("--data_parallel", type=lambda v: v.lower() in ("true", "1"),
+                   default=False,
+                   help="shard the frame/sheet-row axis over the device mesh")
     return p
+
+
+def maybe_mesh(args, log: RunLog):
+    """('data', 'pixel') mesh over all visible devices when
+    --data_parallel is set (frames/sheet rows shard over 'data')."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    from nic.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    log(f"data parallel over mesh {dict(mesh.shape)}")
+    return mesh
 
 
 def save_name(project: str, args) -> str:

@@ -40,6 +40,7 @@ def run(argv=None) -> float:
         movie, num_bits=args.num_bits, latent_channels=args.latent_channels,
         hidden_channels=args.hidden_channels, num_epochs=args.num_epochs,
         lr=args.lr, seed=args.seed, qat_ste=args.qat_ste,
+        mesh=common.maybe_mesh(args, log),
     )
     common.maybe_resume(trainer, args, log, PROJECT)
     writer = ScalarWriter(out("log", name), out("log", f"{name}_scalars.csv"))

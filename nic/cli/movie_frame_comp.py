@@ -42,6 +42,7 @@ def run(argv=None, project: str = PROJECT) -> float:
         sheet, num_bits=args.num_bits, latent_channels=args.latent_channels,
         hidden_channels=args.hidden_channels, num_epochs=args.num_epochs,
         lr=args.lr, seed=args.seed, qat_ste=args.qat_ste,
+        mesh=common.maybe_mesh(args, log),
     )
     common.maybe_resume(trainer, args, log, project)
     writer = ScalarWriter(out("log", name), out("log", f"{name}_scalars.csv"))

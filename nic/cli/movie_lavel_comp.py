@@ -55,6 +55,7 @@ def _run_label(argv) -> float:
         movie, num_bits=args.num_bits, latent_channels=args.latent_channels,
         hidden_channels=args.hidden_channels, num_epochs=args.num_epochs,
         lr=args.lr, seed=args.seed, qat_ste=args.qat_ste,
+        mesh=common.maybe_mesh(args, log),
     )
     with log.span("train time"):
         trainer.train_many(args.num_epochs)

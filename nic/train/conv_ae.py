@@ -61,11 +61,14 @@ class ConvAETrainer:
         conv_impl: str = "matmul",  # im2col matmuls by default: this image's
         # TPU conv lowering degrades training ~8× in loss (NOTES_r1.md);
         # "xla" selects the plain lax-conv modules
+        mesh=None,  # ('data', ...) mesh: shard the sheet-row/time axis
+        # (movie frames) data-parallel; params replicated, grads psum'd
     ):
         self.num_bits = num_bits
         self.num_epochs = num_epochs
         self.qat_ste = qat_ste
         self.dtype = dtype
+        self.mesh = mesh
         image = jnp.asarray(image, dtype)
         self.is_3d = image.ndim == 4
         self.image = image[None]  # batch dim
@@ -94,6 +97,13 @@ class ConvAETrainer:
         dec_params = dec.init(k2, jnp.zeros(latent_shape.shape, dtype))
         self.params = {"enc": enc_params, "dec": dec_params}
 
+        if mesh is not None:
+            from nic.parallel.mesh import replicate
+            from nic.train.spatiotemporal import put_sharded
+
+            self.params = replicate(self.params, mesh)
+            self.image = put_sharded(self.image, mesh, batched=False)
+
         self._tx = optax.adam(lr)
         self.opt_state = self._tx.init(self.params)
         self.step = 0
@@ -101,7 +111,13 @@ class ConvAETrainer:
         self._jit_encode = jax.jit(
             lambda p, x: quantize(self.model.encoder.apply(p["enc"], x), num_bits)
         )
-        self._jit_decode = jax.jit(lambda p, z: self.model.decoder.apply(p["dec"], z))
+        # all movie variants (frame/2d sheet, 3d volume) decode through the
+        # one batched spatiotemporal entry (nic.train.spatiotemporal)
+        from nic.train.spatiotemporal import make_batched_decode
+
+        self._jit_decode = make_batched_decode(
+            lambda p, z: self.model.decoder.apply(p["dec"], z), mesh=mesh
+        )
 
     # ------------------------------------------------------------------
 
@@ -110,9 +126,18 @@ class ConvAETrainer:
         bits = self.num_bits
         tx = self._tx
         use_ste = self.qat_ste
+        mesh = self.mesh
 
         def loss_fn(params, image, key):
             z = enc.apply(params["enc"], image)
+            if mesh is not None:
+                # frames/sheet-rows data-parallel: keep the latent on the
+                # same spatial sharding as the asset (the partitioner
+                # handles conv halos and psums the replicated-param grads)
+                from nic.parallel.mesh import shard_batch
+                from nic.train.spatiotemporal import movie_spec
+
+                z = shard_batch(z, mesh, movie_spec(z.ndim, batched=False))
             if phase == "noise":
                 z = z + qat_noise(key, z.shape, bits, z.dtype)
             else:

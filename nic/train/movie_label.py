@@ -41,11 +41,13 @@ class MovieLabelTrainer:
         seed: int = 0,
         qat_ste: bool = False,
         dtype=jnp.float32,
+        mesh=None,  # ('data', ...) mesh: frames data-parallel over devices
     ):
         self.num_bits = num_bits
         self.num_epochs = num_epochs
         self.qat_ste = qat_ste
         self.dtype = dtype
+        self.mesh = mesh
         self.movie = jnp.asarray(movie, dtype)  # [T, H, W, 3]
         t, h, w, _ = self.movie.shape
         lh, lw = h // 4, w // 4
@@ -61,6 +63,12 @@ class MovieLabelTrainer:
         )
         emb = jax.random.normal(k3, (t, lh, lw, 1), dtype) * 0.1
         self.params = {"enc": enc_params, "dec": dec_params, "emb": emb}
+        if mesh is not None:
+            from nic.parallel.mesh import replicate
+            from nic.train.spatiotemporal import put_sharded
+
+            self.params = replicate(self.params, mesh)
+            self.movie = put_sharded(self.movie, mesh, batched=True)
         self._tx = optax.adam(lr)
         self.opt_state = self._tx.init(self.params)
         self.step = 0
@@ -68,10 +76,15 @@ class MovieLabelTrainer:
         self._jit_encode = jax.jit(
             lambda p, x: quantize(self.encoder.apply(p["enc"], x), num_bits)
         )
-        self._jit_decode = jax.jit(
+        # frames decode through the shared batched spatiotemporal entry
+        # (one batched conv pass over all frames, sharded over 'data')
+        from nic.train.spatiotemporal import make_batched_decode
+
+        self._jit_decode = make_batched_decode(
             lambda p, z: self.decoder.apply(
                 p["dec"], jnp.concatenate([z, p["emb"]], axis=-1)
-            )
+            ),
+            mesh=mesh, batched=True,
         )
 
     def _build_step(self, phase: str):
@@ -79,9 +92,15 @@ class MovieLabelTrainer:
         bits = self.num_bits
         tx = self._tx
         use_ste = self.qat_ste
+        mesh = self.mesh
 
         def loss_fn(params, movie, key):
             z = enc.apply(params["enc"], movie)  # [T, lh, lw, C]
+            if mesh is not None:
+                from nic.parallel.mesh import shard_batch
+                from nic.train.spatiotemporal import movie_spec
+
+                z = shard_batch(z, mesh, movie_spec(z.ndim, batched=True))
             if phase == "noise":
                 z = z + qat_noise(key, z.shape, bits, z.dtype)
             else:

@@ -87,3 +87,75 @@ def test_cli_data_parallel_flag(tmp_path):
         f"OUTPUT_ROOT={tmp_path}/runs",
     ])
     assert np.isfinite(res["psnr"][0])
+
+
+@requires_8
+def test_movie_label_frames_data_parallel_parity():
+    """Frames sharded over 'data' must train to the same params as
+    single-device (VERDICT #7: frame-axis parallelism for the movie
+    family — params replicated, per-frame grads psum over the mesh)."""
+    from nic.train.movie_label import MovieLabelTrainer
+
+    rng = np.random.default_rng(0)
+    movie = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_s = MovieLabelTrainer(movie, num_bits=4, num_epochs=20, seed=0,
+                                 mesh=mesh)
+        for _ in range(3):
+            loss_s = tr_s.train_step()
+        rec_s = tr_s.reconstruct()
+    tr_1 = MovieLabelTrainer(movie, num_bits=4, num_epochs=20, seed=0)
+    for _ in range(3):
+        loss_1 = tr_1.train_step()
+    rec_1 = tr_1.reconstruct()
+    assert abs(float(loss_s) - float(loss_1)) < 1e-5
+    np.testing.assert_allclose(np.asarray(tr_s.params["emb"]),
+                               np.asarray(tr_1.params["emb"]), atol=1e-5)
+    np.testing.assert_allclose(rec_s, rec_1, atol=1e-4)
+
+
+@requires_8
+def test_conv_ae_3d_time_axis_parallel_parity():
+    """movie_3d: the volume's time axis shards over the mesh (the SPMD
+    partitioner inserts the conv halo exchanges); training and the shared
+    batched spatiotemporal decode must match single-device."""
+    from nic.train.conv_ae import ConvAETrainer
+
+    rng = np.random.default_rng(1)
+    vol = rng.uniform(0, 1, (8, 16, 16, 3)).astype(np.float32)
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_s = ConvAETrainer(vol, num_bits=4, num_epochs=20, seed=0, mesh=mesh)
+        for _ in range(3):
+            loss_s = tr_s.train_step()
+        rec_s = tr_s.reconstruct()
+    tr_1 = ConvAETrainer(vol, num_bits=4, num_epochs=20, seed=0)
+    for _ in range(3):
+        loss_1 = tr_1.train_step()
+    rec_1 = tr_1.reconstruct()
+    assert abs(float(loss_s) - float(loss_1)) < 1e-5
+    np.testing.assert_allclose(rec_s, rec_1, atol=1e-4)
+
+
+@requires_8
+def test_movie_frame_sheet_rows_parallel_parity():
+    """movie_frame/movie_2d: the flattened frame sheet's row axis shards
+    over the mesh."""
+    from nic.train.conv_ae import ConvAETrainer
+
+    rng = np.random.default_rng(2)
+    sheet = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_s = ConvAETrainer(sheet, num_bits=4, num_epochs=20, seed=0,
+                             mesh=mesh)
+        for _ in range(3):
+            loss_s = tr_s.train_step()
+        rec_s = tr_s.reconstruct()
+    tr_1 = ConvAETrainer(sheet, num_bits=4, num_epochs=20, seed=0)
+    for _ in range(3):
+        loss_1 = tr_1.train_step()
+    rec_1 = tr_1.reconstruct()
+    assert abs(float(loss_s) - float(loss_1)) < 1e-5
+    np.testing.assert_allclose(rec_s, rec_1, atol=1e-4)
