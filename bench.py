@@ -141,6 +141,23 @@ def bench_pallas(version: int = 2, dtype=None) -> float:
     return _throughput(fused, fp, mlp)
 
 
+def bench_train_steps(num_steps: int = 600, mlp_num_dtype: int = 32) -> float:
+    """NTC train steps/s at flagship defaults (8 × 256² crops/step,
+    fwd+bwd+Adam+clamp, lax.scan-chunked) — the second axis BENCH_r0N
+    tracks alongside decode throughput."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=mlp_num_dtype,
+                            rng_impl="rbg")
+    trainer = NTCTrainer(cfg, load_asset(cfg))
+    trainer.train_many(100, chunk=100)  # compile + warm
+    t0 = time.perf_counter()
+    trainer.train_many(num_steps, chunk=num_steps)
+    return num_steps / (time.perf_counter() - t0)
+
+
 def main() -> None:
     if "--fused-only" in sys.argv:
         import jax.numpy as jnp
@@ -190,6 +207,8 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             pallas_note = f"{type(e).__name__}: {e}"
 
+    train_steps_s = bench_train_steps()
+
     best_big = max(xla_big, fast_big, fast_bf16_big)
     result = {
         "metric": "ntc_decode_throughput_2048px",
@@ -204,6 +223,9 @@ def main() -> None:
         "xla_512_gpix_s": round(xla_gpix, 4),
         "fast_512_gpix_s": round(fast_gpix, 4),
         "fast_bf16_512_gpix_s": round(fast_bf16_gpix, 4),
+        # NOTE: 512² decode is per-dispatch-latency-bound through the
+        # tunnel; the 2048² rows are the compute-throughput numbers.
+        "train_steps_s": round(train_steps_s, 2),
     }
     if pallas_gpix is not None:
         result["pallas_gpix_s"] = round(pallas_gpix, 4)

@@ -92,3 +92,70 @@ def triangular_pe(coords, num_channels: int):
     # [nc, dim, N] → [dim, nc, N] → [dim*nc, N]
     pe = jnp.stack(rows, axis=0).transpose(1, 0, 2)
     return pe.reshape(dim * num_channels, n)
+
+
+# ---------------------------------------------------------------------------
+# gather-based triangular-PE variants (utils.py:230-284 of the reference,
+# exercised only by its test14.py visualization probe): a periodic 1-D LUT
+# of tri waves gathered at integer coordinates. Kept for full component
+# parity; the closed-form triangular_pe above is the production encoder.
+# ---------------------------------------------------------------------------
+
+
+def triangular_pe_table(sequence_length: int = 8, octaves: int = 3,
+                        include_constant: bool = True, dtype=jnp.float32):
+    """[rows, sequence_length] LUT of tri waves (utils.py:230-243):
+    per octave o the offsets (0.0, 0.5) — skipping (octave 0, 0.5) — of
+    tri(x / 2^o, offset), plus an optional constant zero row."""
+    x = jnp.arange(sequence_length, dtype=dtype)
+    rows = []
+    for octave in range(octaves):
+        div = 2.0**octave
+        for i, offset in enumerate((0.0, 0.5)):
+            if octave == 0 and i == 1:
+                continue
+            rows.append(tri(x / div, offset=offset))
+    if include_constant:
+        rows.append(jnp.zeros((sequence_length,), dtype))
+    return jnp.stack(rows)
+
+
+def convert_coordinate_start(coordinate_start, h: int, w: int, stride: int = 1,
+                             flatten_sequence: bool = True):
+    """Per-batch window start [b, 2] → full integer coordinate grids
+    (full_x, full_y), each [b, h*w] (utils.py:266-284 — including its
+    meshgrid(x over w, y over h, 'ij').view(h, w) reshape, which the
+    reference only ever uses with h == w)."""
+    x_offset = jnp.arange(0, w * stride, stride)
+    y_offset = jnp.arange(0, h * stride, stride)
+    xx, yy = jnp.meshgrid(x_offset, y_offset, indexing="ij")
+    xx = xx.reshape(h, w, 1)
+    yy = yy.reshape(h, w, 1)
+    b = coordinate_start.shape[0]
+    x_start = coordinate_start[:, 0].reshape(b, 1, 1, 1)
+    y_start = coordinate_start[:, 1].reshape(b, 1, 1, 1)
+    full_x = x_start + xx[None]
+    full_y = y_start + yy[None]
+    if flatten_sequence:
+        return full_x.reshape(b, -1), full_y.reshape(b, -1)
+    return full_x, full_y
+
+
+def triangular_pe_gather_2d(coordinates, h: int, w: int, *,
+                            sequence_length: int = 8, octaves: int = 3,
+                            stride: int = 1, include_constant: bool = True,
+                            dtype=jnp.float32):
+    """Gather-based 2-D triangular PE (utils.py:246-263): LUT rows gathered
+    at (coord mod sequence_length) for the x and y grids of each batch
+    window. coordinates: [b, 2] integer window starts → [b, 2*rows, h, w]."""
+    table = triangular_pe_table(sequence_length, octaves, include_constant,
+                                dtype)
+    full_x, full_y = convert_coordinate_start(coordinates, h, w, stride)
+
+    def gather(full_coord):  # [b, h*w] → [b, rows, h, w]
+        idx = (full_coord % sequence_length).astype(jnp.int32)
+        return jnp.take(table, idx, axis=1).transpose(1, 0, 2).reshape(
+            full_coord.shape[0], table.shape[0], h, w
+        )
+
+    return jnp.concatenate([gather(full_x), gather(full_y)], axis=1)

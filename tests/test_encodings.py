@@ -48,3 +48,39 @@ def test_tri_wave_shape():
     np.testing.assert_allclose(
         np.asarray(encodings.tri(x, offset=0.0)), [1.0, 0.0, -1.0, 0.0, 1.0], atol=1e-6
     )
+
+
+def test_triangular_pe_gather_2d_matches_oracle():
+    """Gather-based tri-PE variants (utils.py:230-284, the test14.py
+    lineage): LUT rows vs a NumPy transcription, and the 2-D gather at a
+    non-zero window start."""
+    import jax.numpy as jnp
+
+    from nic.core.encodings import (convert_coordinate_start,
+                                    triangular_pe_gather_2d,
+                                    triangular_pe_table)
+
+    def np_tri(x, offset):
+        return 2 * np.abs((x - offset) % 2 - 1) - 1
+
+    x = np.arange(8, dtype=np.float32)
+    rows = []
+    for octave in range(3):
+        for i, off in enumerate((0.0, 0.5)):
+            if octave == 0 and i == 1:
+                continue
+            rows.append(np_tri(x / 2**octave, off))
+    rows.append(np.zeros(8, np.float32))
+    oracle_table = np.stack(rows)
+    np.testing.assert_allclose(np.asarray(triangular_pe_table()),
+                               oracle_table, atol=1e-6)
+
+    coords = jnp.asarray([[0, 0], [3, 5]])
+    pe = np.asarray(triangular_pe_gather_2d(coords, 4, 4))
+    assert pe.shape == (2, 12, 4, 4)
+    fx, fy = convert_coordinate_start(coords, 4, 4)
+    for b in range(2):
+        exp_x = oracle_table[:, np.asarray(fx)[b] % 8].reshape(6, 4, 4)
+        exp_y = oracle_table[:, np.asarray(fy)[b] % 8].reshape(6, 4, 4)
+        np.testing.assert_allclose(pe[b, :6], exp_x, atol=1e-6)
+        np.testing.assert_allclose(pe[b, 6:], exp_y, atol=1e-6)
