@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from nic.core.encodings import sinusoidal_pe, triangular_pe
 from nic.grids.sample import EVEN_PARITY_CORNERS_3D, _g1_weights_active
 
-__all__ = ["precompute_first_layer", "fast_decode"]
+__all__ = ["precompute_first_layer", "first_layer_acc", "fast_decode"]
 
 
 def _axis_take_up(plane, e: int, n: int, origin, axis: int):
@@ -95,18 +95,14 @@ def precompute_first_layer(fp, fl: int, mlp, *, ndim: int, channels: int,
     return p_plane, c1_plane, pe_blocks, w_lod, mlp["b1"]
 
 
-def fast_decode(
+def first_layer_acc(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool = True, ndim: int = 2,
     sparse_g0: bool = False, origin=None, n: int | None = None,
     g1_quirk: bool = True, planes=None,
 ):
-    """Full (or tile) decode via the folded first layer. Returns
-    [n, n(, n), 3]. ``origin``/``n`` select a tile; origins may be static
-    python ints (origin 0 gets the pure layout-op sampling path) or traced
-    scalars (tiled decode vmaps over a lattice of origins). ``planes`` lets
-    a tiled caller pass the :func:`precompute_first_layer` result so the
-    fold is done once, not per tile."""
+    """The pre-GELU first-layer accumulator [n.., H] of the folded decode
+    (everything in :func:`fast_decode` before the MLP tail)."""
     fl = mip_to_level[mip_level]
     e = mip_level - (fl + 1) * 2
     channels = fp[fl * 2].shape[0]
@@ -161,6 +157,27 @@ def fast_decode(
         shape[-1] = vec.shape[-1]
         acc = acc + vec.reshape(shape)
     acc = acc + b1 + float(mip_level) * w_lod
+    return acc
+
+
+def fast_decode(
+    fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
+    pe_channels: int, use_tri_pe: bool = True, ndim: int = 2,
+    sparse_g0: bool = False, origin=None, n: int | None = None,
+    g1_quirk: bool = True, planes=None,
+):
+    """Full (or tile) decode via the folded first layer. Returns
+    [n, n(, n), 3]. ``origin``/``n`` select a tile; origins may be static
+    python ints (origin 0 gets the pure layout-op sampling path) or traced
+    scalars (tiled decode vmaps over a lattice of origins). ``planes`` lets
+    a tiled caller pass the :func:`precompute_first_layer` result so the
+    fold is done once, not per tile."""
+    acc = first_layer_acc(
+        fp, mlp, mip_level, image_size=image_size, mip_to_level=mip_to_level,
+        pe_channels=pe_channels, use_tri_pe=use_tri_pe, ndim=ndim,
+        sparse_g0=sparse_g0, origin=origin, n=n, g1_quirk=g1_quirk,
+        planes=planes,
+    )
 
     # ---- layers 2..3 ----
     h = jax.nn.gelu(acc, approximate=False)

@@ -119,3 +119,28 @@ def test_fused_v2_multiblock():
             )
         )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_v3_matches_fast_decode():
+    """v3 (XLA first-layer accumulator + Pallas MLP tail) must equal the
+    folded XLA path exactly."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v3 import decode_image_fused_v3
+
+    image_size = 64
+    base = image_size // 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    fp, _ = create_pyramid(k1, base, channels=4, num_bits=8, ndim=2)
+    mip_to_level = pyramid_mip_levels(image_size, base)
+    pe = 4
+    mlp = init_mlp(k2, 4 * 5 + pe * 2 + 1, 16, 3)
+    ref = np.asarray(fast_decode(
+        fp, mlp, 0, image_size=image_size, mip_to_level=mip_to_level,
+        pe_channels=pe, use_tri_pe=True, ndim=2,
+    ))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(decode_image_fused_v3(
+            fp, mlp, 0, image_size=image_size, mip_to_level=mip_to_level,
+            pe_channels=pe, use_tri_pe=True,
+        ))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
