@@ -176,7 +176,11 @@ class MatmulDecoder3D(nn.Module):
 
 class MatmulPixelEncoder(nn.Module):
     """PixelLatentEncoder via im2col matmuls (first conv pads 2 → the
-    (S/4 + 1)² corner lattice, pixel_comp.py:39)."""
+    (S/4 + 1)² corner lattice, pixel_comp.py:39). The odd 257/129
+    lattice is safe here: ``_im2col`` uses the polyphase decomposition,
+    whose contiguous slices avoid the TPU-worker strided-slice fault
+    that the plain slicing form hit on pad-2 geometries (round-2
+    bisect, see matmul_conv._im2col)."""
 
     latent_channels: int = 8
     hidden_channels: int = 16

@@ -29,18 +29,60 @@ import itertools
 
 def _im2col(x, k: int, stride: int, pad_lo: int, pad_hi: int):
     """[B, *spatial, C] → [B, *out_spatial, kⁿ·C] patches (torch conv
-    geometry), for 2D or 3D spatial dims."""
+    geometry), for 2D or 3D spatial dims.
+
+    stride == 1 gathers kⁿ contiguous slices. stride > 1 goes through a
+    polyphase (space-to-depth) decomposition: the padded input is
+    reshaped into sⁿ phase planes and every kernel tap becomes a
+    CONTIGUOUS slice of one plane — no strided slices at all. Strided
+    slices whose extent exceeds ~512 rows fault this image's TPU worker
+    (round-2 bisect: pad=1 514→256 fine, pad=2 517→258 crashes the
+    worker in the plain-slicing forward); the polyphase form is immune
+    and is also the layout XLA tiles best. Bit-exact vs the slicing
+    form (pure data movement, same concat order)."""
     ndim = x.ndim - 2
-    pad = ((0, 0),) + ((pad_lo, pad_hi),) * ndim + ((0, 0),)
+    s = stride
+    dims = x.shape[1:-1]
+    outs = [(d + pad_lo + pad_hi - k) // s + 1 for d in dims]
+    if s == 1:
+        pad = ((0, 0),) + ((pad_lo, pad_hi),) * ndim + ((0, 0),)
+        x = jnp.pad(x, pad)
+        parts = []
+        for offs in itertools.product(range(k), repeat=ndim):
+            sl = [slice(None)]
+            for d, o in enumerate(offs):
+                sl.append(slice(o, o + outs[d]))
+            sl.append(slice(None))
+            parts.append(x[tuple(sl)])
+        return jnp.concatenate(parts, axis=-1)  # [B, *out, kⁿ·C]
+
+    m = (k - 1) // s + 1  # tap window size over each phase plane
+    P = []  # padded size per axis: multiple of s, planes cover out+m-1
+    for o, d in zip(outs, dims):
+        p = max((o + m - 1) * s, d + pad_lo + pad_hi)
+        P.append(-(-p // s) * s)
+    pad = ((0, 0),) + tuple(
+        (pad_lo, Pd - d - pad_lo) for Pd, d in zip(P, dims)
+    ) + ((0, 0),)
     x = jnp.pad(x, pad)
-    outs = [(x.shape[1 + d] - k) // stride + 1 for d in range(ndim)]
+    B, C = x.shape[0], x.shape[-1]
+    shape = [B]
+    for Pd in P:
+        shape += [Pd // s, s]
+    shape.append(C)
+    # [B, n1, s, n2, s(, n3, s), C] → [B, n1, n2(, n3), s, s(, s), C]
+    perm = ([0] + [1 + 2 * d for d in range(ndim)]
+            + [2 + 2 * d for d in range(ndim)] + [1 + 2 * ndim])
+    ph = x.reshape(shape).transpose(perm)
     parts = []
     for offs in itertools.product(range(k), repeat=ndim):
-        sl = [slice(None)]
-        for d, o in enumerate(offs):
-            sl.append(slice(o, o + (outs[d] - 1) * stride + 1, stride))
-        sl.append(slice(None))
-        parts.append(x[tuple(sl)])
+        idx = [slice(None)]
+        for d, a in enumerate(offs):
+            idx.append(slice(a // s, a // s + outs[d]))
+        for a in offs:
+            idx.append(a % s)
+        idx.append(slice(None))
+        parts.append(ph[tuple(idx)])
     return jnp.concatenate(parts, axis=-1)  # [B, *out, kⁿ·C]
 
 

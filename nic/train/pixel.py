@@ -70,10 +70,11 @@ class PixelTrainer:
         seed: int = 0,
         qat_ste: bool = False,
         dtype=jnp.float32,
-        conv_impl: str = "xla",  # NOTE: "matmul" (im2col) faults this
-        # image's TPU worker on the pixel encoder's odd-size geometry
-        # (pad-2 first conv → 257/129 dims); lax convs stay the default
-        # here — see NOTES_r1.md
+        conv_impl: str = "matmul",  # im2col matmuls by default — the
+        # convergence-safe conv lowering (see BASELINE.md). The former
+        # pad-2-geometry TPU-worker fault is fixed: _im2col's stride>1
+        # path is now a polyphase decomposition with contiguous slices
+        # only (matmul_conv._im2col).
     ):
         self.num_bits = num_bits
         self.num_epochs = num_epochs

@@ -15,7 +15,7 @@ for LAM in $LAMS; do
     while [ ! -f "$DONE" ] && [ $ATTEMPT -lt 8 ]; do
         ATTEMPT=$((ATTEMPT + 1))
         echo "=== lam=$LAM attempt $ATTEMPT $(date) ==="
-        timeout 2700 python -m nic.cli.hyperprior_comp \
+        timeout 3600 python -m nic.cli.hyperprior_comp \
             --train_dir data --eval_dir data --steps "$STEPS" \
             --lam "$LAM" --resume --interval_print 1000 \
             --interval_checkpoint 2000

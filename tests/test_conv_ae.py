@@ -190,3 +190,71 @@ def test_conv_transpose_polyphase_matches_zero_insertion():
             assert a.shape == b.shape, (ndim, k, s, p, op)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_polyphase_im2col_matches_strided_slicing():
+    """stride>1 _im2col is a polyphase (space-to-depth) decomposition —
+    contiguous slices only, immune to the TPU-worker strided-slice fault
+    on pad-2 geometries (round-2 bisect). Must be bit-exact vs the naive
+    strided-slicing form across 2D/3D geometries incl. odd sizes."""
+    import jax.numpy as jnp
+
+    from nic.models.matmul_conv import _im2col
+
+    def naive(x, k, s, pad_lo, pad_hi):
+        import itertools
+        ndim = x.ndim - 2
+        pad = ((0, 0),) + ((pad_lo, pad_hi),) * ndim + ((0, 0),)
+        xp = jnp.pad(x, pad)
+        outs = [(xp.shape[1 + d] - k) // s + 1 for d in range(ndim)]
+        parts = []
+        for offs in itertools.product(range(k), repeat=ndim):
+            sl = [slice(None)]
+            for d, o in enumerate(offs):
+                sl.append(slice(o, o + (outs[d] - 1) * s + 1, s))
+            sl.append(slice(None))
+            parts.append(xp[tuple(sl)])
+        return jnp.concatenate(parts, axis=-1)
+
+    rng = np.random.default_rng(3)
+    for shape, k, s, p in [
+        ((1, 33, 33, 3), 3, 2, 2),   # pixel-encoder pad-2 lattice (odd)
+        ((1, 32, 32, 3), 3, 2, 1),   # conv-AE geometry
+        ((2, 17, 21, 4), 3, 2, 2),   # non-square, odd
+        ((1, 16, 16, 3), 2, 2, 0),   # k == s
+        ((1, 9, 9, 9, 2), 3, 2, 1),  # 3D
+    ]:
+        x = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+        a = np.asarray(_im2col(x, k, s, p, p))
+        b = np.asarray(naive(x, k, s, p, p))
+        assert a.shape == b.shape, (shape, k, s, p, a.shape, b.shape)
+        assert np.array_equal(a, b), (shape, k, s, p)
+
+
+def test_matmul_pixel_encoder_matches_lax_encoder():
+    """MatmulPixelEncoder must reproduce the lax-conv PixelLatentEncoder
+    (same weights) on the (S/4+1)² corner lattice."""
+    import jax
+    import jax.numpy as jnp
+
+    from nic.models.autoencoder import MatmulPixelEncoder, PixelLatentEncoder
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    me = MatmulPixelEncoder(8, 16)
+    pm = me.init(jax.random.PRNGKey(0), x)
+    out_m = me.apply(pm, x)
+    lat = 32 // 4 + 1
+    assert out_m.shape == (1, lat, lat, 8)
+
+    # same weights into the lax-conv encoder (im2col rows → HWIO)
+    le = PixelLatentEncoder(8, 16)
+    p = pm["params"]
+    pc = {"params": {
+        "Conv_0": {"kernel": p["MatmulConv_0"]["kernel"].reshape(3, 3, 3, 16),
+                   "bias": p["MatmulConv_0"]["bias"]},
+        "Conv_1": {"kernel": p["MatmulConv_1"]["kernel"].reshape(3, 3, 16, 8),
+                   "bias": p["MatmulConv_1"]["bias"]},
+    }}
+    out_l = le.apply(pc, x)  # [1, 9, 9, 8]
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_l), atol=2e-5)
