@@ -22,6 +22,9 @@ def run(argv=None):
     p.add_argument("--mip", type=int, default=0)
     p.add_argument("--out", default=None)
     p.add_argument("--backend", choices=["fast", "xla", "pallas"], default="fast")
+    p.add_argument("--gelu", choices=["exact", "tanh", "quick"], default="exact",
+                   help="pallas backend GELU: 'tanh' is ~2x faster with "
+                        "error well under one 8-bit quantization step")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     args = p.parse_args(argv)
@@ -68,12 +71,13 @@ def run(argv=None):
                 f"(this one: ndim={ndim}, sparse_g0={sparse_g0}); "
                 "use --backend fast"
             )
-        from nic.kernels.decode_fused import decode_image_fused
+        from nic.kernels.decode_fused_v2 import decode_image_fused_v2
 
         decode = jax.jit(
-            lambda fp, mlp: decode_image_fused(
+            lambda fp, mlp: decode_image_fused_v2(
                 fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
                 pe_channels=pe_channels, use_tri_pe=use_tri_pe,
+                gelu=args.gelu,
             )
         )
     elif args.backend == "fast":
@@ -96,10 +100,18 @@ def run(argv=None):
             )
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 
-    out = jax.block_until_ready(decode(fp, mlp))  # includes compile
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(decode(fp, mlp))
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if args.backend == "pallas" and jax.default_backend() != "tpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    with ctx:
+        out = jax.block_until_ready(decode(fp, mlp))  # includes compile
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(decode(fp, mlp))
+        dt = time.perf_counter() - t0
     rec = np.clip(np.asarray(out, np.float32), 0, 1)
     npix = rec.size // 3
     print(f"decoded {rec.shape} in {dt*1e3:.2f} ms "

@@ -1,27 +1,43 @@
-"""Fused decode kernel v2: folded first layer (see nic.grids.fastdecode).
+"""Fused decode kernel v2 (rev 2): the one-Pallas-kernel hot path.
 
-v1 (decode_fused.py) assembled the raw 73-feature matrix in-kernel and paid
-for 12-lane layouts everywhere. v2 exploits the algebraic identity that the
-MLP's first layer commutes with gather/interp: the host precomputes
+Folded-first-layer decode (see nic.grids.fastdecode for the algebra:
+the MLP's first layer commutes with gather/interp, so P = G0·W1 and
+C1 = G1·W1 are precomputed on the grid). rev 1 of this kernel measured
+4 orders of magnitude below the XLA path; the round-2 bisect found the
+actual root cause — NOT Mosaic relayouts but **non-advancing operand
+windows**: any pallas_call operand whose index_map does not move with
+the grid costs ~0.5 ms of serialization per grid step on this toolchain
+(a no-op copy kernel goes 0.04 ms → 33 ms when one constant window is
+added). rev 2 is designed so that EVERY operand window advances:
 
-    P  = Σ_corners shift(G0)·W1_corner   [cells, cells, H]
-    C1 = G1·W1_g1                        [S1, S1, H]
-    pe_u/pe_v = PE tables · W1_pe        [N, H] per axis
-    b1' = b1 + mip·W1_lod
+- host/XLA column stage (cheap, cell-column resolution — 4–8× smaller
+  than the full accumulator): upsample the folded P plane along columns,
+  interpolate the folded C1 plane along columns, and fold the separable
+  column-PE + bias + LOD term into C1 (the row-interp weights sum to 1,
+  so a constant added to every C1 row passes through the interpolation
+  unchanged);
+- one Pallas kernel over a 2-D grid of (R pixel rows × C pixel cols)
+  tiles: row-upsample of the P window (outermost-axis repeat — no
+  relayout), row-interp of the C1 window (static per-row weights, halo
+  row fetched via a SECOND advancing height-1 window of the same
+  array), + row-PE window, then the full MLP tail GELU → W2 (MXU) →
+  GELU → W3 → sigmoid. RGB is written PLANAR [3, N, N] in (3, R, C)
+  blocks (an [R·C, 3] window would lane-pad 3 → 128 and blow VMEM;
+  planar blocks are cheap). Per-tile params/PE ride tiled so their
+  windows advance too; C caps the per-tile VMEM footprint under the
+  16 MB scoped limit at any image size.
 
-(tiny matmuls, done once per decode), and the kernel does only H-lane work:
-nearest-upsample of P + bilinear sample of C1 + separable PE broadcast →
-GELU → W2 → GELU → W3 → sigmoid. Per-pixel matmul FLOPs drop ~2× vs v1 and
-every VPU op runs at full 64/128-lane occupancy.
+Covers the upsampling decodes (e ≤ 0 — every mip the flagship protocol
+actually renders); e ≥ 1 (tiny thumbnail mips) falls back to the XLA
+fast path. 2D only, like rev 1.
 
-The G1 step==2 raw-sum quirk is inherited (weights_on gate as in
-fp_def.py:136-144 of the reference).
+Reference semantics: create_g0_g1 fp_def.py:115-145 via the fold;
+the G1 step==2 quirk lives in the fallback (g1_quirk threaded).
 """
 
 from __future__ import annotations
 
 import functools
-
 
 import jax
 import jax.numpy as jnp
@@ -29,166 +45,203 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nic.core.encodings import sinusoidal_pe, triangular_pe
-from nic.grids.fastdecode import precompute_first_layer
-from nic.grids.sample import _g1_weights_active
-from nic.kernels.decode_fused import _erepeat, _gelu_exact
+from nic.grids.fastdecode import _axis_take_up, fast_decode, precompute_first_layer
+from nic.kernels.decode_fused import _gelu_exact
 
 __all__ = ["decode_image_fused_v2"]
 
 
-def _window_up(ref, ee: int, n_rows: int, n_cols: int, row_start, corners: bool):
-    """Slice an H-lane plane ref at step 2^ee over this block; return either
-    the nearest-sampled block (corners=False) or a corner(du,dv) getter."""
-    if ee < 0:
-        f = 1 << (-ee)
-        rcells = n_rows // f
-        ccells = n_cols // f
-        extra = 1 if corners else 0
-        blk = ref[pl.ds(row_start // f, rcells + extra), :, :]
-        blk = jax.lax.slice_in_dim(blk, 0, ccells + extra, axis=1)
-        up = _erepeat(_erepeat(blk, f, axis=0), f, axis=1)
-        if not corners:
-            return up  # exactly [n_rows, n_cols, H]
-
-        def corner(du, dv):
-            t = jax.lax.slice_in_dim(up, du * f, du * f + n_rows, axis=0)
-            return jax.lax.slice_in_dim(t, dv * f, dv * f + n_cols, axis=1)
-
-        return corner
-    s = 1 << ee
-    extra = 1 if corners else 0
-    blk = ref[pl.ds(row_start * s, (n_rows - 1) * s + 1 + extra), :, :]
-    blk = jax.lax.slice_in_dim(blk, 0, (n_cols - 1) * s + 1 + extra, axis=1)
-
-    def strided(t, du, dv):
-        t = jax.lax.slice_in_dim(t, du, du + (n_rows - 1) * s + 1, axis=0)
-        t = jax.lax.slice_in_dim(t, dv, dv + (n_cols - 1) * s + 1, axis=1)
-        if s > 1:
-            t = jax.lax.slice_in_dim(t, 0, (n_rows - 1) * s + 1, stride=s, axis=0)
-            t = jax.lax.slice_in_dim(t, 0, (n_cols - 1) * s + 1, stride=s, axis=1)
-        return t
-
-    if not corners:
-        return strided(blk, 0, 0)
-    return lambda du, dv: strided(blk, du, dv)
+def _gelu_tanh(x):
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
-def _frac(base, n: int, e: int, dtype, axis: int):
-    f1 = 1 << (1 - e)
-    shape = (n, 1) if axis == 0 else (1, n)
-    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis) + base
-    return ((idx % f1).astype(dtype) / float(f1))[:, :, None]
+def _gelu_quick(x):
+    return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _kernel(p_ref, c1_ref, peu_ref, pev_ref, b1_ref, w2_ref, b2_ref,
-            w3_ref, b3_ref, out_ref, *, rows: int, cols: int, e: int,
-            acc_dtype):
-    pid = pl.program_id(0)
-    r0 = pid * rows
+_GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "quick": _gelu_quick}
 
-    # G0 term: nearest sample of the folded plane
-    acc = _window_up(p_ref, e, rows, cols, r0, corners=False).astype(acc_dtype)
 
-    # G1 term: bilinear sample of C1 (step==2 → raw corner sum)
-    corner = _window_up(c1_ref, e - 1, rows, cols, r0, corners=True)
-    weights_on = _g1_weights_active(2.0**e)
-    if weights_on and (e - 1) < 0:
-        fu = _frac(r0, rows, e, acc_dtype, 0)
-        fv = _frac(0, cols, e, acc_dtype, 1)
-        acc = acc + (
-            corner(0, 0).astype(acc_dtype) * (1 - fu) * (1 - fv)
-            + corner(0, 1).astype(acc_dtype) * (1 - fu) * fv
-            + corner(1, 0).astype(acc_dtype) * fu * (1 - fv)
-            + corner(1, 1).astype(acc_dtype) * fu * fv
-        )
-    elif weights_on:
-        acc = acc + corner(0, 0).astype(acc_dtype)
+def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
+            b3_ref, out_ref, *, R: int, f: int, f1: int, acc_dtype, gelu):
+    cols = pc_ref.shape[1]
+    m = R // f1
+
+    # G0 term: nearest row-upsample (outermost-axis repeat) of the
+    # column-upsampled P window [R/f, C, H] → [R, C, H]
+    if f == 1:
+        g0 = pc_ref[:, :, :].astype(acc_dtype)
     else:
-        acc = acc + (
-            corner(0, 0).astype(acc_dtype) + corner(0, 1).astype(acc_dtype)
-            + corner(1, 0).astype(acc_dtype) + corner(1, 1).astype(acc_dtype)
-        )
+        g0 = jnp.concatenate(
+            [pc_ref[r // f : r // f + 1, :, :] for r in range(R)], axis=0
+        ).astype(acc_dtype)
 
-    # separable PE row/col vectors + folded bias
-    pe_u = peu_ref[pl.ds(r0, rows), :]  # [rows, H]
-    acc = acc + pe_u[:, None, :].astype(acc_dtype)
-    acc = acc + pev_ref[:, :][None, :, :].astype(acc_dtype)
-    acc = acc + b1_ref[:, :][None, :, :].astype(acc_dtype)
+    # G1 term: static per-row linear interp over the column-interpolated
+    # C1 window; row r uses C1 rows r//f1 and r//f1+1 (the last +1 is the
+    # halo row from the second advancing window)
+    parts = []
+    for r in range(R):
+        ia, fu = r // f1, (r % f1) / f1
+        ca = c1_ref[ia : ia + 1, :, :] if ia < m else c1h_ref[0:1, :, :]
+        cb = c1_ref[ia + 1 : ia + 2, :, :] if ia + 1 < m else c1h_ref[0:1, :, :]
+        parts.append((1.0 - fu) * ca.astype(acc_dtype)
+                     + fu * cb.astype(acc_dtype))
+    acc = g0 + jnp.concatenate(parts, axis=0)
 
-    h = _gelu_exact(acc).reshape(rows * cols, -1)
-    dtype = p_ref.dtype
+    # separable row-PE vectors (column PE + bias + LOD are pre-folded
+    # into C1 host-side)
+    acc = acc + peu_ref[:, :].astype(acc_dtype)[:, None, :]
+
+    h = gelu(acc).reshape(R * cols, -1)
+    dtype = w2_ref.dtype
     h = jnp.dot(h.astype(dtype), w2_ref[:, :], preferred_element_type=acc_dtype)
-    h = _gelu_exact(h + b2_ref[:, :].astype(acc_dtype))
-    h = jnp.dot(h.astype(dtype), w3_ref[:, :], preferred_element_type=acc_dtype)
-    rgb = jax.nn.sigmoid(h + b3_ref[:, :].astype(acc_dtype))
-    out_ref[:, :, :] = rgb.reshape(rows, cols, -1).astype(out_ref.dtype)
+    h = gelu(h + b2_ref[0:1, :].astype(acc_dtype))
+    # planar output: [3, R·C] = W3ᵀ (3, H) · h (R·C, H) contracted on H
+    rgb = jax.lax.dot_general(
+        w3t_ref[0:3, :].astype(dtype), h.astype(dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype,
+    )
+    rgb = jax.nn.sigmoid(rgb + b3_ref[0:3, :].astype(acc_dtype))
+    # written flat tile-major: the (3, R·C) dot output goes straight to
+    # lanes — a (3, R, C) block would need a lane→sublane relayout here
+    out_ref[:, :] = rgb.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("e", "decode_size", "rows", "out_dtype"),
+    jax.jit, static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu")
 )
-def _call(p_plane, c1_plane, pe_u, pe_v, b1p, w2, b2, w3, b3, *, e: int,
-          decode_size: int, rows: int, out_dtype):
-    kernel = functools.partial(
-        _kernel, rows=rows, cols=decode_size, e=e, acc_dtype=jnp.float32
-    )
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
+          f: int, f1: int, out_dtype, gelu: str = "exact"):
+    nrow, ncol = n // R, n // C
+    steps = nrow * ncol
+    m = R // f1
     hidden = w2.shape[0]
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _kernel, R=R, f=f, f1=f1, acc_dtype=jnp.float32, gelu=_GELUS[gelu]
+    )
+    # params tiled per grid step so their windows advance (see module doc)
+    tile8 = lambda a: jnp.tile(a.reshape(1, -1), (steps * 8, 1))
+    w3t8 = jnp.tile(jnp.pad(w3.T, ((0, 5), (0, 0))), (steps, 1))
+    b3t = jnp.tile(jnp.pad(b3.reshape(-1, 1), ((0, 5), (0, 0))), (steps, 1))
+    # row-PE: each R-row chunk duplicated per column block
+    peu_t = jnp.broadcast_to(
+        pe_u.reshape(nrow, 1, R, hidden), (nrow, ncol, R, hidden)
+    ).reshape(steps * R, hidden)
+    # retile the planes column-block-major so every kernel window is a
+    # CONTIGUOUS DMA: a (rows, C, H) window cut from a (rows, N, H) array
+    # is N/C separate 128-byte-row strided transfers and runs ~3× slower
+    # (measured at N=2048); one host transpose per decode is ~0.3 ms
+    pc_t = (
+        pc.reshape(nrow, R // f, ncol, C, hidden)
+        .transpose(2, 0, 1, 3, 4)
+        .reshape(ncol * nrow * (R // f), C, hidden)
+    )
+    c1_pad = jnp.pad(c1v, ((0, (nrow + 1) * m - c1v.shape[0]), (0, 0), (0, 0)))
+    c1_t = (
+        c1_pad.reshape((nrow + 1) * m, ncol, C, hidden)
+        .transpose(1, 0, 2, 3)
+        .reshape(ncol * (nrow + 1) * m, C, hidden)
+    )
+    out = pl.pallas_call(
         kernel,
-        grid=(decode_size // rows,),
-        in_specs=[vmem] * 9,
-        out_specs=pl.BlockSpec(
-            (rows, decode_size, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((decode_size, decode_size, 3), out_dtype),
+        grid=(nrow, ncol),
+        in_specs=[
+            pl.BlockSpec((R // f, C, hidden), lambda i, j: (j * nrow + i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, C, hidden),
+                         lambda i, j: (j * (nrow + 1) + i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # halo: height-1 advancing window one row past block i's rows
+            pl.BlockSpec((1, C, hidden),
+                         lambda i, j: ((j * (nrow + 1) + i + 1) * m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, hidden), lambda i, j: (i * ncol + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, hidden), lambda i, j: (i * ncol + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hidden), lambda i, j: (i * ncol + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hidden), lambda i, j: (i * ncol + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda i, j: (i * ncol + j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, R * C), lambda i, j: (0, i * (n // C) + j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n * n), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * decode_size * decode_size * (hidden * hidden + hidden * 3),
-            bytes_accessed=(p_plane.size + c1_plane.size) * p_plane.dtype.itemsize
-            + decode_size * decode_size * 3 * 4,
-            transcendentals=2 * decode_size * decode_size * hidden,
+            flops=2 * n * n * (hidden * hidden + hidden * 3),
+            bytes_accessed=(pc.size + 2 * c1v.size) * pc.dtype.itemsize
+            + n * n * 3 * 4,
+            transcendentals=2 * n * n * hidden,
         ),
-    )(p_plane, c1_plane, pe_u, pe_v, b1p, w2, b2, w3, b3)
+    )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
+    # untile: (3, tile-major pixels) → [N, N, 3] (one XLA transpose)
+    return out.reshape(3, nrow, ncol, R, C).transpose(1, 3, 2, 4, 0).reshape(
+        n, n, 3
+    )
 
 
 def decode_image_fused_v2(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
-    pe_channels: int, use_tri_pe: bool = True, dtype=None,
-    out_dtype=jnp.float32,
+    pe_channels: int, use_tri_pe: bool = True, g1_quirk: bool = True,
+    dtype=None, out_dtype=jnp.float32, block_rows: int | None = None,
+    block_cols: int | None = None, gelu: str = "exact",
 ):
-    """Full-image 2D fused decode, v2 (folded first layer)."""
+    """Full-image 2D fused decode, v2 rev2 (one Pallas kernel)."""
     fl = mip_to_level[mip_level]
     e = mip_level - (fl + 1) * 2
-    decode_size = image_size // (2**mip_level)
+    n = image_size // (2**mip_level)
     channels = fp[fl * 2].shape[0]
+
+    f = 1 << (-e) if e < 0 else 1
+    f1 = 1 << (1 - e)  # G1 sample period in pixels (e ≤ 0)
+    R = block_rows or max(8, f1)
+    C = block_cols or min(n, 1024)
+    if e > 0 or n % R or n < R or n % C or R % f1 or R % f:
+        # thumbnail mips / odd sizes: XLA fast path
+        out = fast_decode(
+            fp, mlp, mip_level, image_size=image_size,
+            mip_to_level=mip_to_level, pe_channels=pe_channels,
+            use_tri_pe=use_tri_pe, ndim=2, g1_quirk=g1_quirk,
+        )
+        return out.astype(out_dtype)
 
     p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=2, channels=channels, pe_channels=pe_channels
     )
-    # PE tables folded through W1 (host-side; tiny)
-    t = (jnp.arange(decode_size, dtype=jnp.float32)) * (2.0 ** (e - 1))
+    if dtype is not None:
+        p_plane = p_plane.astype(dtype)
+        c1_plane = c1_plane.astype(dtype)
+
+    # ---- column stage (XLA, cell-column resolution) ----
+    # P: nearest column upsample, rows cropped to the N/f the kernel reads
+    pc = _axis_take_up(p_plane, e, n, 0, axis=1)[: n // f]  # [N/f, N, H]
+
+    # C1: column interp at t_v = v·2^(e-1) (weights always active at e ≤ 0)
+    tv = jnp.arange(n, dtype=jnp.float32) * (2.0 ** (e - 1))
+    j1 = jnp.floor(tv).astype(jnp.int32)
+    fv = (tv - j1.astype(jnp.float32)).astype(c1_plane.dtype)[None, :, None]
+    rows = n // f1 + 1
+    c1r = jax.lax.slice_in_dim(c1_plane, 0, rows, axis=0)
+    c1v = (1.0 - fv) * jnp.take(c1r, j1, axis=1) + fv * jnp.take(
+        c1r, j1 + 1, axis=1
+    )  # [N/f1+1, N, H]
+
+    # separable PE tables folded through W1; the column term + bias + LOD
+    # folds into C1 (row-interp weights sum to 1)
+    t = jnp.arange(n, dtype=jnp.float32) * (2.0 ** (e - 1))
     pe_fn = triangular_pe if use_tri_pe else sinusoidal_pe
     table = pe_fn(t[None, :], pe_channels).T  # [N, PE]
-    pe_u = table @ pe_blocks[0]
-    pe_v = table @ pe_blocks[1]
-    b1p = (b1 + float(mip_level) * w_lod).reshape(1, -1)
+    pe_u = (table @ pe_blocks[0]).astype(pc.dtype)  # [N, H]
+    a_col = table @ pe_blocks[1] + mlp["b1"] + float(mip_level) * w_lod
+    c1v = (c1v + a_col[None, :, :]).astype(pc.dtype)
 
-    w2, b2 = mlp["w2"], mlp["b2"].reshape(1, -1)
-    w3, b3 = mlp["w3"], mlp["b3"].reshape(1, -1)
+    w2, b2 = mlp["w2"], mlp["b2"]
+    w3, b3 = mlp["w3"], mlp["b3"]
     if dtype is not None:
-        cast = lambda x: x.astype(dtype)
-        p_plane, c1_plane, pe_u, pe_v = map(cast, (p_plane, c1_plane, pe_u, pe_v))
-        w2, w3 = cast(w2), cast(w3)
+        w2, w3 = w2.astype(dtype), w3.astype(dtype)
 
-    # row block: G1 upsample factor must divide it; ≥2048 rows per matmul
-    f1 = 1 << max(0, 1 - e)
-    rows = max(f1, min(decode_size, max(8, 4096 // max(decode_size, 1))))
-    while decode_size % rows:
-        rows //= 2
-    rows = max(rows, f1)
-
-    return _call(
-        p_plane, c1_plane, pe_u, pe_v, b1p, w2, b2, w3, b3,
-        e=e, decode_size=decode_size, rows=rows, out_dtype=out_dtype,
-    )
+    return _call(pc, c1v, pe_u, w2, b2, w3, b3, n=n, R=R, C=C, f=f,
+                 f1=f1, out_dtype=out_dtype, gelu=gelu)

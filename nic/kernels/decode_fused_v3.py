@@ -33,45 +33,70 @@ __all__ = ["decode_image_fused_v3", "mlp_tail"]
 
 
 def _kernel(acc_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref, *, acc_dtype):
-    rows, cols, hidden = acc_ref.shape
-    h = _gelu_exact(acc_ref[:, :, :].astype(acc_dtype)).reshape(
-        rows * cols, hidden
-    )
+    h = _gelu_exact(acc_ref[:, :].astype(acc_dtype))
     dtype = w2_ref.dtype
     h = jnp.dot(h.astype(dtype), w2_ref[:, :], preferred_element_type=acc_dtype)
-    h = _gelu_exact(h + b2_ref[:, :].astype(acc_dtype))
+    h = _gelu_exact(h + b2_ref[0:1, :].astype(acc_dtype))
     h = jnp.dot(h.astype(dtype), w3_ref[:, :], preferred_element_type=acc_dtype)
-    rgb = jax.nn.sigmoid(h + b3_ref[:, :].astype(acc_dtype))
-    out_ref[:, :, :] = rgb.reshape(rows, cols, -1).astype(out_ref.dtype)
+    rgb = jax.nn.sigmoid(h + b3_ref[0:1, :].astype(acc_dtype))
+    out_ref[:, :] = rgb.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "out_dtype"))
-def mlp_tail(acc, w2, b2, w3, b3, *, rows: int = 256, out_dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("block", "out_dtype"))
+def mlp_tail(acc, w2, b2, w3, b3, *, block: int = 4096, out_dtype=jnp.float32):
     """[S, S, H] pre-GELU accumulator → [S, S, 3] pixels via a Pallas
-    row-block pipeline (GELU → W2 → GELU → W3 → sigmoid)."""
+    pipeline over 1-D pixel blocks of the flattened [S², H] view
+    (GELU → W2 → GELU → W3 → sigmoid).
+
+    Two layout rules, both load-bearing on this chip (round-2 bisect):
+
+    - 2-D windows tile the VMEM (8, 128) lanes cleanly; 3-D
+      [rows, S, H] windows lane-pad the H and RGB axes to 128 and blow
+      VMEM at S ≥ 512. block=4096 keeps the double-buffered windows
+      within the 16 MB scoped-VMEM limit.
+    - Every operand's window must ADVANCE with the grid index. A
+      non-advancing (constant index_map) window — however the spec is
+      written — costs ~0.5 ms of serialization PER GRID STEP on this
+      toolchain (measured: a no-op copy kernel goes 0.04 ms → 33 ms the
+      moment one constant-window operand is added; this is the root
+      cause of v1/v2's "4 orders of magnitude" slowdown). So the MLP
+      params are tiled ``steps``× along axis 0 and every window strides
+      by its block — the re-read is ≤16 KB/step, noise next to the
+      accumulator stream."""
     s, cols, hidden = acc.shape
-    while s % rows:
-        rows //= 2
+    n = s * cols
+    while n % block:
+        block //= 2
+    steps = n // block
     kernel = functools.partial(_kernel, acc_dtype=jnp.float32)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    tile = lambda a: jnp.tile(a, (steps, 1))
+    out = pl.pallas_call(
         kernel,
-        grid=(s // rows,),
+        grid=(steps,),
         in_specs=[
-            pl.BlockSpec((rows, cols, hidden), lambda i: (i, 0, 0),
+            pl.BlockSpec((block, hidden), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            vmem, vmem, vmem, vmem,
+            pl.BlockSpec((hidden, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hidden), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, cols, 3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, cols, 3), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, 3), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * s * cols * (hidden * hidden + hidden * 3),
-            bytes_accessed=s * cols * hidden * acc.dtype.itemsize
-            + s * cols * 3 * 4,
-            transcendentals=2 * s * cols * hidden,
+            flops=2 * n * (hidden * hidden + hidden * 3),
+            bytes_accessed=n * hidden * acc.dtype.itemsize + n * 3 * 4,
+            transcendentals=2 * n * hidden,
         ),
-    )(acc, w2, b2.reshape(1, -1), w3, b3.reshape(1, -1))
+    )(acc.reshape(n, hidden), tile(w2),
+      jnp.tile(b2.reshape(1, -1), (steps * 8, 1)),
+      tile(w3), jnp.tile(b3.reshape(1, -1), (steps * 8, 1)))
+    return out.reshape(s, cols, 3)
 
 
 def decode_image_fused_v3(

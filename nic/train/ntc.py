@@ -461,9 +461,24 @@ class NTCTrainer:
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 
         if div_slice == 1:
-            if cfg.decode_backend == "fast":
+            if cfg.decode_backend == "pallas" and ndim == 2 and not sparse_g0:
+                # fused Pallas kernel (nic.kernels.decode_fused_v2 rev2) —
+                # the fastest backend on TPU (falls back to fast_decode
+                # internally for thumbnail mips / odd sizes)
+                from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+                m2l = self.mip_to_level
+
+                def decode(fp, mlp):
+                    return decode_image_fused_v2(
+                        fp, mlp, mip, image_size=cfg.image_size,
+                        mip_to_level=m2l, pe_channels=cfg.pe_channels,
+                        use_tri_pe=use_tri_pe, g1_quirk=cfg.tf_g1_quirk,
+                    )
+            elif cfg.decode_backend in ("fast", "pallas"):
                 # folded-first-layer decode (nic.grids.fastdecode): exact,
                 # ~2× fewer matmul FLOPs, no [N, F] feature matrix
+                # (pallas lands here for 3D / sparse-G0 artifacts)
                 from nic.grids.fastdecode import fast_decode
 
                 m2l = self.mip_to_level

@@ -144,3 +144,28 @@ def test_fused_v3_matches_fast_decode():
             pe_channels=pe, use_tri_pe=True,
         ))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_fused_v2_gelu_tanh_close():
+    """gelu='tanh' (the fast decode mode) must match the exact-erf path
+    to well under one 8-bit quantization step (1/255 ≈ 4e-3)."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size, base, c, pe = 64, 16, 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, ndim=2)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, gelu="tanh",
+            )
+        )
+    assert np.abs(got - want).max() < 1e-3
