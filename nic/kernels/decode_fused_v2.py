@@ -27,6 +27,12 @@ added). rev 2 is designed so that EVERY operand window advances:
   windows advance too; C caps the per-tile VMEM footprint under the
   16 MB scoped limit at any image size.
 
+When the MLP is 64-wide (the reference default), the kernel runs LANE
+PACKED: two adjacent pixel columns share one 128-lane vreg row (a free
+reshape on the contiguous [.., N, 64] planes) and the MLP uses
+block-diagonal weights — halving both VPU elementwise work and MXU row
+count for the same useful FLOPs.
+
 Covers the upsampling decodes (e ≤ 0 — every mip the flagship protocol
 actually renders); e ≥ 1 (tiny thumbnail mips) falls back to the XLA
 fast path. 2D only, like rev 1.
@@ -64,7 +70,8 @@ _GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "quick": _gelu_quick}
 
 
 def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
-            b3_ref, out_ref, *, R: int, f: int, f1: int, acc_dtype, gelu):
+            b3_ref, out_ref, *, R: int, f: int, f1: int, acc_dtype, gelu,
+            out_ch: int = 3):
     cols = pc_ref.shape[1]
     m = R // f1
 
@@ -97,33 +104,62 @@ def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
     dtype = w2_ref.dtype
     h = jnp.dot(h.astype(dtype), w2_ref[:, :], preferred_element_type=acc_dtype)
     h = gelu(h + b2_ref[0:1, :].astype(acc_dtype))
-    # planar output: [3, R·C] = W3ᵀ (3, H) · h (R·C, H) contracted on H
+    # planar output: [OC, R·C] = W3ᵀ (OC, H) · h (R·C, H) contracted on H
     rgb = jax.lax.dot_general(
-        w3t_ref[0:3, :].astype(dtype), h.astype(dtype),
+        w3t_ref[0:out_ch, :].astype(dtype), h.astype(dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=acc_dtype,
     )
-    rgb = jax.nn.sigmoid(rgb + b3_ref[0:3, :].astype(acc_dtype))
+    rgb = jax.nn.sigmoid(rgb + b3_ref[0:out_ch, :].astype(acc_dtype))
     # written flat tile-major: the (3, R·C) dot output goes straight to
     # lanes — a (3, R, C) block would need a lane→sublane relayout here
     out_ref[:, :] = rgb.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu")
+    jax.jit,
+    static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu", "packed"),
 )
 def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
-          f: int, f1: int, out_dtype, gelu: str = "exact"):
+          f: int, f1: int, out_dtype, gelu: str = "exact",
+          packed: bool = False):
     nrow, ncol = n // R, n // C
     steps = nrow * ncol
     m = R // f1
     hidden = w2.shape[0]
+
+    if packed:
+        # lane packing: H=64 fills only half of each 128-lane vreg and
+        # half the MXU contraction dim. Pack two ADJACENT pixel columns
+        # into one 128-lane row — a FREE reshape on the [.., N, 64]
+        # planes (contiguous memory) — and run the MLP with
+        # block-diagonal weights: halves both VPU elementwise work and
+        # MXU row count for the same useful FLOPs.
+        C = C // 2  # ncol is unchanged: packed columns halve with C
+        pc = pc.reshape(pc.shape[0], n // 2, 2 * hidden)
+        c1v = c1v.reshape(c1v.shape[0], n // 2, 2 * hidden)
+        pe_u = jnp.concatenate([pe_u, pe_u], axis=-1)
+        z = jnp.zeros_like(w2)
+        w2 = jnp.concatenate(
+            [jnp.concatenate([w2, z], 1), jnp.concatenate([z, w2], 1)], 0
+        )  # blockdiag [2H, 2H]
+        b2 = jnp.concatenate([b2, b2])
+        zw3 = jnp.zeros_like(w3)
+        w3 = jnp.concatenate(
+            [jnp.concatenate([w3, zw3], 1), jnp.concatenate([zw3, w3], 1)], 0
+        )  # [2H, 6]: cols 0-2 even-pixel rgb, 3-5 odd
+        b3 = jnp.concatenate([b3, b3])
+        hidden = 2 * hidden
+    out_ch = w3.shape[1]
+
     kernel = functools.partial(
-        _kernel, R=R, f=f, f1=f1, acc_dtype=jnp.float32, gelu=_GELUS[gelu]
+        _kernel, R=R, f=f, f1=f1, acc_dtype=jnp.float32, gelu=_GELUS[gelu],
+        out_ch=out_ch,
     )
     # params tiled per grid step so their windows advance (see module doc)
     tile8 = lambda a: jnp.tile(a.reshape(1, -1), (steps * 8, 1))
-    w3t8 = jnp.tile(jnp.pad(w3.T, ((0, 5), (0, 0))), (steps, 1))
-    b3t = jnp.tile(jnp.pad(b3.reshape(-1, 1), ((0, 5), (0, 0))), (steps, 1))
+    pad8 = 8 - out_ch
+    w3t8 = jnp.tile(jnp.pad(w3.T, ((0, pad8), (0, 0))), (steps, 1))
+    b3t = jnp.tile(jnp.pad(b3.reshape(-1, 1), ((0, pad8), (0, 0))), (steps, 1))
     # row-PE: each R-row chunk duplicated per column block
     peu_t = jnp.broadcast_to(
         pe_u.reshape(nrow, 1, R, hidden), (nrow, ncol, R, hidden)
@@ -167,9 +203,9 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
             pl.BlockSpec((8, 1), lambda i, j: (i * ncol + j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, R * C), lambda i, j: (0, i * (n // C) + j),
+        out_specs=pl.BlockSpec((out_ch, R * C), lambda i, j: (0, i * ncol + j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n * n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((out_ch, steps * R * C), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * n * (hidden * hidden + hidden * 3),
             bytes_accessed=(pc.size + 2 * c1v.size) * pc.dtype.itemsize
@@ -177,7 +213,14 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
             transcendentals=2 * n * n * hidden,
         ),
     )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
-    # untile: (3, tile-major pixels) → [N, N, 3] (one XLA transpose)
+    # untile: (OC, tile-major pixels) → [N, N, 3] (one XLA transpose)
+    if packed:
+        # axis 0: [r,g,b] of even pixel, then [r,g,b] of odd pixel
+        return (
+            out.reshape(2, 3, nrow, ncol, R, C)
+            .transpose(2, 4, 3, 5, 0, 1)
+            .reshape(n, n, 3)
+        )
     return out.reshape(3, nrow, ncol, R, C).transpose(1, 3, 2, 4, 0).reshape(
         n, n, 3
     )
@@ -219,15 +262,19 @@ def decode_image_fused_v2(
     # P: nearest column upsample, rows cropped to the N/f the kernel reads
     pc = _axis_take_up(p_plane, e, n, 0, axis=1)[: n // f]  # [N/f, N, H]
 
-    # C1: column interp at t_v = v·2^(e-1) (weights always active at e ≤ 0)
+    # C1: column interp at t_v = v·2^(e-1) (weights always active at e ≤ 0).
+    # j1 = v // f1 and j1+1 are pure repeat+shift patterns at origin 0, so
+    # the two samples are layout ops (repeat + slice), not gathers.
     tv = jnp.arange(n, dtype=jnp.float32) * (2.0 ** (e - 1))
     j1 = jnp.floor(tv).astype(jnp.int32)
     fv = (tv - j1.astype(jnp.float32)).astype(c1_plane.dtype)[None, :, None]
     rows = n // f1 + 1
     c1r = jax.lax.slice_in_dim(c1_plane, 0, rows, axis=0)
-    c1v = (1.0 - fv) * jnp.take(c1r, j1, axis=1) + fv * jnp.take(
-        c1r, j1 + 1, axis=1
-    )  # [N/f1+1, N, H]
+    c1c = jax.lax.slice_in_dim(c1r, 0, rows, axis=1)
+    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, N+f1, H]
+    c1a = jax.lax.slice_in_dim(rep, 0, n, axis=1)
+    c1b = jax.lax.slice_in_dim(rep, f1, n + f1, axis=1)
+    c1v = (1.0 - fv) * c1a + fv * c1b  # [N/f1+1, N, H]
 
     # separable PE tables folded through W1; the column term + bias + LOD
     # folds into C1 (row-interp weights sum to 1)
@@ -243,5 +290,12 @@ def decode_image_fused_v2(
     if dtype is not None:
         w2, w3 = w2.astype(dtype), w3.astype(dtype)
 
+    hidden = w2.shape[0]
+    packed = (
+        2 * hidden == 128
+        and C % 16 == 0
+        and (R * C // 2) % 128 == 0
+        and n % 2 == 0
+    )
     return _call(pc, c1v, pe_u, w2, b2, w3, b3, n=n, R=R, C=C, f=f,
-                 f1=f1, out_dtype=out_dtype, gelu=gelu)
+                 f1=f1, out_dtype=out_dtype, gelu=gelu, packed=packed)

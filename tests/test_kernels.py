@@ -169,3 +169,26 @@ def test_fused_v2_gelu_tanh_close():
             )
         )
     assert np.abs(got - want).max() < 1e-3
+
+
+def test_trainer_pallas_backend_matches_fast():
+    """NTCTrainer with DECODE_BACKEND=pallas must decode (bit-near) the
+    same image as the fast XLA backend."""
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    outs = {}
+    for backend in ("fast", "pallas"):
+        cfg = CompressionConfig(
+            image_size=32, crop_mip_level=4, num_crops=2, num_epochs=5,
+            fp_bits=8, feature_pyramid_channels=4, pe_channels=4,
+            hidden_layer_channels=16, tf_no_mip=True, seed=0,
+            decode_backend=backend,
+        )
+        trainer = NTCTrainer(cfg, [img])
+        with pltpu.force_tpu_interpret_mode():
+            outs[backend] = np.asarray(trainer.decode(0, div_size=10))
+    assert outs["fast"].shape == outs["pallas"].shape
+    np.testing.assert_allclose(outs["pallas"], outs["fast"], atol=2e-5)
