@@ -22,9 +22,10 @@ def run(argv=None):
     p.add_argument("--mip", type=int, default=0)
     p.add_argument("--out", default=None)
     p.add_argument("--backend", choices=["fast", "xla", "pallas"], default="fast")
-    p.add_argument("--gelu", choices=["exact", "tanh", "quick"], default="exact",
-                   help="pallas backend GELU: 'tanh' is ~2x faster with "
-                        "error well under one 8-bit quantization step")
+    p.add_argument("--gelu", choices=["exact", "tanh", "quick", "poly"],
+                   default="exact",
+                   help="pallas backend GELU: 'tanh'/'poly' are ~2x faster "
+                        "with error well under one 8-bit quantization step")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     args = p.parse_args(argv)

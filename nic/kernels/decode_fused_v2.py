@@ -66,7 +66,28 @@ def _gelu_quick(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-_GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "quick": _gelu_quick}
+# gelu(x) = 0.5x + x·erf(x/√2)/2; the second term is EVEN, so it is a
+# polynomial in x² — 8 FMAs + clamp + 2 selects, no transcendental.
+# Max |err| 3.6e-4 on ℝ (fit on [-4,4], exact saturation outside),
+# below both the tanh approximation's 4.7e-4 and one u8 step (3.9e-3).
+_GELU_POLY_C = (
+    6.063213460406e-06, 3.988279991626e-01, -6.618728056429e-02,
+    9.689185146121e-03, -1.058572076001e-03, 8.262109727744e-05,
+    -4.286269517788e-06, 1.303813961965e-07, -1.739696971198e-09,
+)
+
+
+def _gelu_poly(x):
+    u = x * x
+    acc = jnp.full_like(x, _GELU_POLY_C[-1])
+    for coef in _GELU_POLY_C[-2::-1]:
+        acc = acc * u + coef
+    y = 0.5 * x + acc  # gelu = x/2 + even-part p(x²)
+    return jnp.where(x > 4.0, x, jnp.where(x < -4.0, 0.0, y))
+
+
+_GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "quick": _gelu_quick,
+          "poly": _gelu_poly}
 
 
 def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,

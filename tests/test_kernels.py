@@ -146,9 +146,10 @@ def test_fused_v3_matches_fast_decode():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_fused_v2_gelu_tanh_close():
-    """gelu='tanh' (the fast decode mode) must match the exact-erf path
-    to well under one 8-bit quantization step (1/255 ≈ 4e-3)."""
+@pytest.mark.parametrize("fast_gelu", ["tanh", "poly"])
+def test_fused_v2_gelu_tanh_close(fast_gelu):
+    """The fast GELU modes must match the exact-erf path to well under
+    one 8-bit quantization step (1/255 ≈ 4e-3)."""
     from nic.grids.fastdecode import fast_decode
     from nic.kernels.decode_fused_v2 import decode_image_fused_v2
 
@@ -165,7 +166,7 @@ def test_fused_v2_gelu_tanh_close():
         got = np.asarray(
             decode_image_fused_v2(
                 fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
-                pe_channels=pe, gelu="tanh",
+                pe_channels=pe, gelu=fast_gelu,
             )
         )
     assert np.abs(got - want).max() < 1e-3
