@@ -20,7 +20,7 @@ for size, kbig in ((512, 128), (2048, 12)):
         fp, mlp, 0, image_size=size, mip_to_level=m2l,
         pe_channels=bench.PE, use_tri_pe=True, ndim=2))(fp, mlp))
     for dt, dn in ((jnp.bfloat16, "bf16"), (None, "fp32")):
-        for g in ("tanh", "exact"):
+        for g in ("tanh", "poly", "exact"):
             fn = lambda fp_, mlp_: decode_image_fused_v2(
                 fp_, mlp_, 0, image_size=size, mip_to_level=m2l,
                 pe_channels=bench.PE, use_tri_pe=True, dtype=dt, gelu=g)
