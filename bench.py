@@ -103,7 +103,7 @@ def bench_decode(backend: str, image_size: int, dtype=None,
     return image_size * image_size / t / 1e9
 
 
-def bench_train_steps(num_steps: int = 600, mlp_num_dtype: int = 32) -> float:
+def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int = 32) -> float:
     """NTC train steps/s at flagship defaults (8 × 256² crops/step,
     fwd+bwd+Adam+clamp, lax.scan-chunked). train_many fetches the loss
     history to host, so this is an honest end-to-end rate."""

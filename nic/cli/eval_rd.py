@@ -168,6 +168,8 @@ def run(argv=None) -> dict:
 
     cfg = parse_overrides(overrides)
     name = f"eval_rd_{args.codec}_{os.path.basename(os.path.abspath(args.dir))}"
+    if args.codec == "ntc":
+        name += f"_fp{cfg.fp_bits}"  # one JSON per rate point, no clobber
     log = RunLog(make_filename_by_seq(
         os.path.join(args.output_root, "printlog"), f"{name}.txt"))
     log(datetime.datetime.now())
