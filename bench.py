@@ -114,7 +114,8 @@ def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int = 32) -> float:
     cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=mlp_num_dtype,
                             rng_impl="rbg")
     trainer = NTCTrainer(cfg, load_asset(cfg))
-    trainer.train_many(100, chunk=100)  # compile + warm
+    # warm with the SAME chunk size so the timed call reuses the compile
+    trainer.train_many(num_steps, chunk=num_steps)
     t0 = time.perf_counter()
     trainer.train_many(num_steps, chunk=num_steps)
     return num_steps / (time.perf_counter() - t0)
