@@ -171,6 +171,7 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
         b3 = jnp.concatenate([b3, b3])
         hidden = 2 * hidden
     out_ch = w3.shape[1]
+    useful_h = hidden // 2 if packed else hidden
 
     kernel = functools.partial(
         _kernel, R=R, f=f, f1=f1, acc_dtype=jnp.float32, gelu=_GELUS[gelu],
@@ -228,10 +229,12 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((out_ch, steps * R * C), out_dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * n * (hidden * hidden + hidden * 3),
+            # useful FLOPs: the packed block-diagonal weights' zero
+            # blocks do no useful work; poly GELU has no transcendentals
+            flops=2 * n * n * (useful_h * useful_h + useful_h * 3),
             bytes_accessed=(pc.size + 2 * c1v.size) * pc.dtype.itemsize
             + n * n * 3 * 4,
-            transcendentals=2 * n * n * hidden,
+            transcendentals=0 if gelu == "poly" else 2 * n * n * useful_h,
         ),
     )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
     # untile: (OC, tile-major pixels) → [N, N, 3] (one XLA transpose)

@@ -42,7 +42,8 @@ for no_mip in (True, False):
     cfg = CompressionConfig(num_epochs=10**6, tf_no_mip=no_mip,
                             rng_impl="rbg")
     tr = NTCTrainer(cfg, load_asset(cfg))
-    tr.train_many(100, chunk=100)
+    # warm at the SAME chunk size so the timed call reuses the compile
+    tr.train_many(600, chunk=600)
     t0 = time.perf_counter()
     tr.train_many(600, chunk=600)
     r = 600 / (time.perf_counter() - t0)

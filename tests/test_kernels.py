@@ -193,3 +193,56 @@ def test_trainer_pallas_backend_matches_fast():
             outs[backend] = np.asarray(trainer.decode(0, div_size=10))
     assert outs["fast"].shape == outs["pallas"].shape
     np.testing.assert_allclose(outs["pallas"], outs["fast"], atol=2e-5)
+
+
+def test_fused_v2_lane_packed_path():
+    """The lane-packed path (hidden=64 — the reference default and the
+    benchmark config) must be exercised and bit-near the XLA path; a
+    parity-axis swap in the packed untile would scramble columns."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import _call, decode_image_fused_v2
+
+    image_size, base, c, pe, hidden = 128, 32, 12, 6, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, hidden, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, ndim=2)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe,
+            )
+        )
+        # multi-column-block grid forces the packed retile path too
+        got2 = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, block_cols=64,
+            )
+        )
+    # the eligibility gate must actually select the packed path here
+    import nic.kernels.decode_fused_v2 as v2mod
+    seen = {}
+    orig = v2mod._call
+
+    def spy(*a, **kw):
+        seen["packed"] = kw.get("packed")
+        return orig(*a, **kw)
+
+    v2mod._call = spy
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe,
+            )
+    finally:
+        v2mod._call = orig
+    assert seen["packed"] is True
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got2, want, atol=2e-5)
