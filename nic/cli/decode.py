@@ -115,8 +115,12 @@ def run(argv=None):
         dt = time.perf_counter() - t0
     rec = np.clip(np.asarray(out, np.float32), 0, 1)
     npix = rec.size // 3
-    print(f"decoded {rec.shape} in {dt*1e3:.2f} ms "
-          f"({npix/dt/1e9:.3f} GPix/s, backend={args.backend})")
+    # NOTE: wall time of one dispatch; through the axon tunnel this is a
+    # submission rate, not device throughput — bench.py's fori-slope
+    # harness measures the honest numbers (BASELINE.md)
+    print(f"decoded {rec.shape} in {dt*1e3:.2f} ms wall "
+          f"({npix/dt/1e9:.3f} GPix/s submission rate, "
+          f"backend={args.backend}; honest numbers: bench.py)")
     if args.out:
         from nic.data.assets import save_png, write_timelaps
 

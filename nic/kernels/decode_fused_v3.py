@@ -1,20 +1,22 @@
-"""Fused decode kernel v3: the layout-informed split.
+"""Fused decode kernel v3: the two-stage split (measured design point).
 
-v1/v2 measured 4 orders of magnitude below the XLA path on this chip —
-Mosaic relayouts for the in-kernel P/C1 upsample patterns dominate
-(BASELINE.md decode table). v3 tests the judge-suggested variant: XLA
-computes the folded first-layer accumulator (nearest-upsample of P +
-multilinear C1 + separable PE — pure layout ops it lowers well,
+v3 splits the decode: XLA computes the folded first-layer accumulator
+(nearest-upsample of P + multilinear C1 + separable PE,
 ``nic.grids.fastdecode.first_layer_acc``), and the Pallas kernel is ONLY
 the H-lane MLP tail: GELU → W2 (MXU) → GELU → W3 → sigmoid, pipelined
-over row blocks of the [S, S, H] accumulator.
+over pixel blocks of the [S², H] accumulator.
 
 The trade is explicit: the accumulator (S²·H floats — 67 MB at 512²,
-1 GB at 2048²) materializes through HBM instead of staying in registers
-inside one XLA fusion, so the roofline is HBM bandwidth ≈
-BW / (H·(4+2)·bytes) pixels/s, well below the fully-fused XLA path at
-large S. The kernel exists to measure exactly that — the numbers in
-BASELINE.md justify keeping XLA fusion as the production decode.
+1 GB at 2048²) materializes through HBM instead of staying VMEM-resident
+as in the fully-fused v2 rev2 (`decode_fused_v2.py` — the production
+backend, which beats this split AND the XLA graphs; see BASELINE.md's
+round-2 decode table). v3 is kept as the measured intermediate design
+point between "all XLA" and "one fused kernel", and as the minimal demo
+of the advancing-window rule below.
+
+(Historical note: rev 1 of v2 measured 4 orders of magnitude below XLA;
+the round-2 bisect attributed that to NON-ADVANCING operand windows,
+not Mosaic relayouts.)
 """
 
 from __future__ import annotations
