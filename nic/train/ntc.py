@@ -428,10 +428,27 @@ class NTCTrainer:
         )
         with _np.load(path) as z:
             meta = json.loads(bytes(z["__meta__"]).decode())
+        frozen = bool(meta.get("frozen", False))
+        if frozen and step <= self.cfg.num_epochs * 0.95:
+            # protocol EXTENSION: the checkpoint comes from a run whose
+            # freeze point (95% of ITS num_epochs) already passed, but the
+            # new schedule's freeze lies ahead — unfreeze so the grids
+            # train again (from their quantized values) until the new 95%
+            # mark, matching the requested protocol. Keeping them frozen
+            # silently degrades an extended run to the old run's quality
+            # (observed: a 100k→320k extension pinned at the 100k PSNR).
+            import warnings
+
+            warnings.warn(
+                f"resumed a post-freeze checkpoint (step {step}) into a "
+                f"{self.cfg.num_epochs}-epoch schedule; unfreezing grids "
+                "for the extended training phase"
+            )
+            frozen = False
         self.state = NTCState(
             fp=params["fp"], mlp=params["mlp"],
             opt_fp=opt["fp"], opt_mlp=opt["mlp"],
-            step=step, frozen=bool(meta.get("frozen", False)),
+            step=step, frozen=frozen,
         )
 
     # ------------------------------------------------------------------

@@ -68,3 +68,43 @@ def test_ntc_checkpoint_resume(tmp_path):
     # training continues from the restored optimizer state
     tr2.train_many(20)
     assert tr2.state.step == 40
+
+
+def test_resume_extension_unfreezes(tmp_path):
+    """Extending a finished run (post-freeze checkpoint, larger
+    NUM_EPOCHS) must unfreeze the grids so the new schedule actually
+    trains them; keeping them frozen pins the extended run at the old
+    run's quality (round-2 finding: 100k→320k extension stuck at the
+    100k PSNR)."""
+    import warnings
+
+    import numpy as np
+
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    base = dict(image_size=32, crop_mip_level=4, num_crops=2, fp_bits=8,
+                feature_pyramid_channels=4, pe_channels=4,
+                hidden_layer_channels=16, tf_no_mip=True, seed=0)
+    # short run that completes its freeze (the boundary step at 95% of
+    # 20 epochs runs within 21 steps)
+    tr = NTCTrainer(CompressionConfig(num_epochs=20, **base), [img])
+    tr.train_many(21)
+    assert tr.state.frozen
+    ck = str(tmp_path / "ck.npz")
+    tr.save_checkpoint(ck)
+
+    # same-protocol resume keeps frozen state
+    tr2 = NTCTrainer(CompressionConfig(num_epochs=20, **base), [img])
+    tr2.load_checkpoint(ck)
+    assert tr2.state.frozen
+
+    # extension resume unfreezes (with a warning)
+    tr3 = NTCTrainer(CompressionConfig(num_epochs=200, **base), [img])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        tr3.load_checkpoint(ck)
+    assert not tr3.state.frozen
+    assert any("unfreezing" in str(x.message) for x in w)
