@@ -52,6 +52,52 @@ def _setup(image_size: int = IMAGE_SIZE):
     return fp, mlp, mip_to_level
 
 
+def _setup3d(sparse_g0: bool = False, size: int = 64):
+    """3D flagship shapes: the misty 64³ protocol (methods 3/4)."""
+    import jax
+
+    from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+    from nic.models.mlp import init_mlp
+
+    base = size // 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    fp, _ = create_pyramid(k1, base, CHANNELS, num_bits=8, ndim=3)
+    mip_to_level = pyramid_mip_levels(size, base)
+    n_corners = 4 if sparse_g0 else 8
+    mlp = init_mlp(k2, CHANNELS * (n_corners + 1) + PE * 3 + 1, HIDDEN, 3)
+    return fp, mlp, mip_to_level
+
+
+def bench_decode3d(backend: str, sparse_g0: bool = False, size: int = 64,
+                   dtype=None, gelu: str = "exact") -> float:
+    """Honest GPix/s for the 3D/spatiotemporal full-volume decode
+    (method 4 hardcodes sinusoidal PE — reference fp_def.py:208)."""
+    from scripts.honest_bench import honest_decode_time
+
+    fp, mlp, m2l = _setup3d(sparse_g0, size)
+    use_tri_pe = not sparse_g0
+    if backend == "pallas":
+        from nic.kernels.decode_fused_3d import decode_volume_fused
+
+        def fn(fp, mlp):
+            return decode_volume_fused(
+                fp, mlp, 0, image_size=size, mip_to_level=m2l,
+                pe_channels=PE, use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+                dtype=dtype, gelu=gelu,
+            )
+    else:  # "fast": the folded XLA path (the pre-kernel movie decode tier)
+        from nic.grids.fastdecode import fast_decode
+
+        def fn(fp, mlp):
+            return fast_decode(
+                fp, mlp, 0, image_size=size, mip_to_level=m2l,
+                pe_channels=PE, use_tri_pe=use_tri_pe, ndim=3,
+                sparse_g0=sparse_g0,
+            )
+    t = honest_decode_time(fn, fp, mlp, kbig=96, ksmall=2)
+    return size**3 / t / 1e9
+
+
 def _decode_fn(backend: str, image_size: int, mip_to_level, dtype=None,
                gelu: str = "exact"):
     import jax.numpy as jnp
@@ -134,15 +180,23 @@ def main() -> None:
         "fast_bf16_2048_gpix_s": round(fast_big, 4),
     }
     best_big = max(xla_big, fast_big)
+    best_exact = best_big
     if on_tpu:
+        # two honestly-labeled modes (round-3): "exact-class" = erf-poly,
+        # max |Δgelu| < 1e-6, u8-identical decodes; "fast" = tanh GELU,
+        # ≤4 u8 LSB / −0.002 dB on the flagship artifact (BASELINE.md)
         for key, kw in (
-            ("pallas_2048_gpix_s", dict(dtype=jnp.bfloat16)),
+            ("pallas_exact_2048_gpix_s", dict(dtype=jnp.bfloat16)),
+            ("pallas_erfpoly_2048_gpix_s",
+             dict(dtype=jnp.bfloat16, gelu="erfpoly")),
             ("pallas_tanh_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="tanh")),
         ):
             try:
                 g = bench_decode("pallas", BENCH_SIZE, **kw)
                 result[key] = round(g, 4)
                 best_big = max(best_big, g)
+                if kw.get("gelu", "exact") != "tanh":
+                    best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
                 result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]
         try:
@@ -151,6 +205,20 @@ def main() -> None:
                              gelu="tanh"), 4)
         except Exception as e:  # pragma: no cover
             result["pallas_512_note"] = f"{type(e).__name__}: {e}"[:160]
+        # 3D/spatiotemporal full-volume decode (misty 64³ protocol):
+        # fused kernel vs the folded XLA tier the movie family used to run
+        try:
+            fast3d = bench_decode3d("fast", sparse_g0=False)
+            result["fast_3d_misty64_gpix_s"] = round(fast3d, 4)
+            for key, sparse in (("pallas_3d_m3_gpix_s", False),
+                                ("pallas_3d_m4_gpix_s", True)):
+                g = bench_decode3d("pallas", sparse_g0=sparse,
+                                   dtype=jnp.bfloat16, gelu="tanh")
+                result[key] = round(g, 4)
+                result[key.replace("_gpix_s", "_vs_fast")] = round(
+                    g / fast3d, 2)
+        except Exception as e:  # pragma: no cover
+            result["bench3d_note"] = f"{type(e).__name__}: {e}"[:160]
 
     train_steps_s = bench_train_steps()
 
@@ -161,6 +229,10 @@ def main() -> None:
         # baseline = the unfused XLA graph (the shape of the reference's
         # own decode); the reference publishes no numbers (BASELINE.md)
         "vs_baseline": round(best_big / xla_big, 3),
+        # the headline mode is tanh-GELU (lossy: ≤4 u8 LSB, −0.002 dB);
+        # value_exact is the strongest u8-identical ("exact-class") mode
+        "value_mode": "tanh-gelu fast mode (−0.002 dB)",
+        "value_exact": round(best_exact, 4),
         "train_steps_s": round(train_steps_s, 2),
         "timing": "honest fori_loop slope (round-2 methodology fix)",
     }

@@ -21,7 +21,10 @@ def run(argv=None):
     p.add_argument("artifact")
     p.add_argument("--mip", type=int, default=0)
     p.add_argument("--out", default=None)
-    p.add_argument("--backend", choices=["fast", "xla", "pallas"], default="fast")
+    p.add_argument("--backend", choices=["auto", "fast", "xla", "pallas"],
+                   default="auto",
+                   help="auto = fused Pallas kernel on TPU (the fastest "
+                        "backend, BASELINE.md), folded XLA path elsewhere")
     p.add_argument("--gelu", choices=["exact", "tanh", "quick", "poly"],
                    default="exact",
                    help="pallas backend GELU: 'tanh'/'poly' are ~2x faster "
@@ -65,23 +68,35 @@ def run(argv=None):
     step = 2.0 ** (mip - (fl + 1) * 2)
     n = image_size // (2**mip)
 
-    if args.backend == "pallas":
-        if ndim != 2 or sparse_g0:
-            raise SystemExit(
-                "--backend pallas supports 2D dense-G0 artifacts only "
-                f"(this one: ndim={ndim}, sparse_g0={sparse_g0}); "
-                "use --backend fast"
-            )
-        from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "fast"
+    if backend == "pallas" and ndim == 2 and sparse_g0:
+        # sparse G0 is 3D-only in the reference; no 2D kernel covers it
+        backend = "fast"
+    if backend == "pallas":
+        if ndim == 3:
+            from nic.kernels.decode_fused_3d import decode_volume_fused
 
-        decode = jax.jit(
-            lambda fp, mlp: decode_image_fused_v2(
-                fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
-                pe_channels=pe_channels, use_tri_pe=use_tri_pe,
-                gelu=args.gelu,
+            decode = jax.jit(
+                lambda fp, mlp: decode_volume_fused(
+                    fp, mlp, mip, image_size=image_size,
+                    mip_to_level=mip_to_level, pe_channels=pe_channels,
+                    use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+                    gelu=args.gelu,
+                )
             )
-        )
-    elif args.backend == "fast":
+        else:
+            from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+            decode = jax.jit(
+                lambda fp, mlp: decode_image_fused_v2(
+                    fp, mlp, mip, image_size=image_size,
+                    mip_to_level=mip_to_level, pe_channels=pe_channels,
+                    use_tri_pe=use_tri_pe, gelu=args.gelu,
+                )
+            )
+    elif backend == "fast":
         from nic.grids.fastdecode import fast_decode
 
         decode = jax.jit(
@@ -104,7 +119,7 @@ def run(argv=None):
     import contextlib
 
     ctx = contextlib.nullcontext()
-    if args.backend == "pallas" and jax.default_backend() != "tpu":
+    if backend == "pallas" and jax.default_backend() != "tpu":
         from jax.experimental.pallas import tpu as pltpu
 
         ctx = pltpu.force_tpu_interpret_mode()
@@ -120,7 +135,7 @@ def run(argv=None):
     # harness measures the honest numbers (BASELINE.md)
     print(f"decoded {rec.shape} in {dt*1e3:.2f} ms wall "
           f"({npix/dt/1e9:.3f} GPix/s submission rate, "
-          f"backend={args.backend}; honest numbers: bench.py)")
+          f"backend={backend}; honest numbers: bench.py)")
     if args.out:
         from nic.data.assets import save_png, write_timelaps
 

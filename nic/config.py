@@ -62,7 +62,8 @@ class CompressionConfig:
     tf_write_psnr: bool = True
     # --- new framework knobs (no reference counterpart) ---
     seed: int = 0
-    decode_backend: str = "fast"     # "fast" (folded layer 1) | "xla" | "pallas"
+    decode_backend: str = "auto"     # "auto" (pallas on TPU, fast elsewhere) |
+                                     # "fast" (folded layer 1) | "xla" | "pallas"
     qat_ste: bool = False            # straight-through estimator (off = reference parity)
     data_parallel: bool = False      # shard crops over a device mesh
     output_root: str = "runs"        # artifact root (reference wrote to cwd-relative dirs)
@@ -77,6 +78,18 @@ class CompressionConfig:
                                      # 2^max(max_mip - mip - div_size, 0)
 
     # ---- derived (var2.py:99-125 semantics) ----
+
+    @property
+    def resolved_decode_backend(self) -> str:
+        """The DECODE_BACKEND default is "auto": the fused Pallas kernel
+        (the fastest backend, 8–11× over XLA — BASELINE.md) on TPU, the
+        folded-first-layer XLA path elsewhere. The kernels keep their own
+        internal fast_decode fallbacks for shapes they don't cover."""
+        if self.decode_backend != "auto":
+            return self.decode_backend
+        import jax
+
+        return "pallas" if jax.default_backend() == "tpu" else "fast"
 
     @property
     def basename(self) -> str:

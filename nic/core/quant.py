@@ -139,23 +139,21 @@ def code_dtype(bits: int):
 def pack_bits(codes: np.ndarray, bits: int) -> np.ndarray:
     """Pack an array of b-bit codes (any shape) into a flat uint8 byte stream.
 
-    Layout matches the native ``nic_pack_bits`` exactly (so artifacts are
-    interchangeable between builds): ``per_byte = 8 // bits`` codes per
-    byte, code i at bit offset ``i*bits`` — for bits that don't divide 8
-    (3, 5, 6, 7) the top bits of each byte are simply unused.
+    TRUE bit stream: code i occupies absolute bits [i·b, (i+1)·b),
+    LSB-first, straddling byte boundaries when b ∤ 8 — the payload is
+    exactly ``ceil(count·b / 8)`` bytes for every b ∈ [1, 8], so the bpp
+    accounting (BASELINE.md) counts real payload bytes at any bit width.
+    Layout matches the native ``nic_pack_bits`` exactly (artifacts are
+    interchangeable between builds), and for b | 8 (1, 2, 4, 8 — the
+    reference's sweep grid) it coincides with the historical
+    codes-per-byte layout, so old artifacts stay readable.
     """
-    codes = np.asarray(codes).reshape(-1)
+    codes = np.asarray(codes).reshape(-1).astype(np.uint8)
     if bits >= 8:
-        return codes.astype(np.uint8)
-    per_byte = 8 // bits
-    pad = (-len(codes)) % per_byte
-    if pad:
-        codes = np.concatenate([codes, np.zeros(pad, dtype=codes.dtype)])
-    codes = codes.reshape(-1, per_byte).astype(np.uint8)
-    out = np.zeros(codes.shape[0], dtype=np.uint8)
-    for i in range(per_byte):
-        out |= codes[:, i] << (i * bits)
-    return out
+        return codes
+    # bit j of code i → stream bit i·bits + j
+    bitmat = (codes[:, None] >> np.arange(bits, dtype=np.uint8)) & 1
+    return np.packbits(bitmat.reshape(-1), bitorder="little")
 
 
 def unpack_bits(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
@@ -163,9 +161,8 @@ def unpack_bits(packed: np.ndarray, bits: int, count: int) -> np.ndarray:
     packed = np.asarray(packed, dtype=np.uint8).reshape(-1)
     if bits >= 8:
         return packed[:count]
-    per_byte = 8 // bits
-    mask = (1 << bits) - 1
-    out = np.empty((len(packed), per_byte), dtype=np.uint8)
-    for i in range(per_byte):
-        out[:, i] = (packed >> (i * bits)) & mask
-    return out.reshape(-1)[:count]
+    stream = np.unpackbits(packed, bitorder="little")[: count * bits]
+    bitmat = stream.reshape(count, bits).astype(np.uint8)
+    return (bitmat * (1 << np.arange(bits, dtype=np.uint8))).sum(
+        axis=1
+    ).astype(np.uint8)

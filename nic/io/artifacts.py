@@ -275,7 +275,18 @@ def load_checkpoint(path: str, params_template, opt_template=None):
                 key = prefix + "/" + "/".join(
                     str(getattr(p, "key", getattr(p, "idx", p))) for p in path_keys
                 )
-                new_leaves.append(jnp.asarray(z[key], jnp.asarray(leaf).dtype))
+                arr = z[key]
+                if tuple(arr.shape) != tuple(np.shape(leaf)):
+                    # loading a checkpoint into a template built from a
+                    # different architecture (e.g. hyperprior --n/--m not
+                    # matching the trained model) must fail loudly, not
+                    # restore silently-wrong params
+                    raise ValueError(
+                        f"checkpoint {path!r} field {key}: stored shape "
+                        f"{tuple(arr.shape)} != template {tuple(np.shape(leaf))}"
+                        " — config/architecture mismatch"
+                    )
+                new_leaves.append(jnp.asarray(arr, jnp.asarray(leaf).dtype))
             return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
         params = restore(params_template, "params")

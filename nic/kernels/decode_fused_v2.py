@@ -86,8 +86,36 @@ def _gelu_poly(x):
     return jnp.where(x > 4.0, x, jnp.where(x < -4.0, 0.0, y))
 
 
+# erf(z) ≈ z·p(v), v = 2z²/B² − 1, B = 3.9188 (erf(B) = 1 − 2⁻²⁶):
+# deg-16 monomial converted from a Chebyshev interpolant of erf(z)/z.
+# Max |Δerf| 1.6e-7 in f32 Horner — float32-exact class (vs tanh's 4.7e-4
+# and the round-2 even-poly's 3.6e-4), giving u8-IDENTICAL decodes at
+# polynomial cost: 16 FMAs, no transcendental, no division.
+_ERF_COEFS_V = (
+    0.36084712417350057, -0.18016249079808996, 0.1341197098397116,
+    -0.1092031839839547, 0.09062792421675198, -0.0739776908469364,
+    0.0581495074523071, -0.0435456971886969, 0.030547198182092263,
+    -0.019592030398672442, 0.012233327075772783, -0.008136814407460185,
+    0.004267563623966739, -0.001049107566569795, 0.0006108818677171472,
+    -0.0009324910271702735, 0.0003764209620008347,
+)
+_ERF_B2 = 3.9188 * 3.9188  # z² scale; gelu saturates for |x| > √2·B
+
+
+def _gelu_erfpoly(x):
+    u = x * x
+    v = u * (1.0 / _ERF_B2) - 1.0  # v = 2z²/B² − 1 with z² = x²/2
+    acc = jnp.full_like(x, _ERF_COEFS_V[-1])
+    for co in _ERF_COEFS_V[-2::-1]:
+        acc = acc * v + co
+    erf = (x * 0.7071067811865476) * acc  # erf(x/√2)
+    y = 0.5 * x * (1.0 + erf)
+    lim = 5.54212  # √2·B
+    return jnp.where(x > lim, x, jnp.where(x < -lim, 0.0, y))
+
+
 _GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "quick": _gelu_quick,
-          "poly": _gelu_poly}
+          "poly": _gelu_poly, "erfpoly": _gelu_erfpoly}
 
 
 def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,

@@ -19,7 +19,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["init_mlp", "apply_mlp", "mlp_param_bits", "mlp_num_params"]
+__all__ = ["init_mlp", "apply_mlp", "apply_mlp_tail", "mlp_param_bits",
+           "mlp_num_params"]
 
 
 def _linear_init(key, fan_in: int, fan_out: int, dtype):
@@ -58,6 +59,26 @@ def apply_mlp(params: dict, x, matmul_dtype=None):
 
     h = jax.nn.gelu(dot(x, params["w1"]) + params["b1"].astype(jnp.float32),
                     approximate=False)
+    h = jax.nn.gelu(dot(h, params["w2"]) + params["b2"].astype(jnp.float32),
+                    approximate=False)
+    return jax.nn.sigmoid(dot(h, params["w3"]) + params["b3"].astype(jnp.float32))
+
+
+def apply_mlp_tail(params: dict, acc, matmul_dtype=None):
+    """Layers 2..3 on a precomputed first-layer PREACTIVATION ``acc``
+    [N, H] (i.e. x·W1 + b1, e.g. from the folded grid sampling of
+    nic.grids.fastdecode.first_layer_acc): GELU → Linear → GELU →
+    Linear → Sigmoid. Same ``matmul_dtype`` semantics as apply_mlp."""
+    if matmul_dtype is None:
+        h = jax.nn.gelu(acc, approximate=False)
+        h = jax.nn.gelu(h @ params["w2"] + params["b2"], approximate=False)
+        return jax.nn.sigmoid(h @ params["w3"] + params["b3"])
+
+    def dot(a, w):
+        return jnp.dot(a.astype(matmul_dtype), w.astype(matmul_dtype),
+                       preferred_element_type=jnp.float32)
+
+    h = jax.nn.gelu(acc.astype(jnp.float32), approximate=False)
     h = jax.nn.gelu(dot(h, params["w2"]) + params["b2"].astype(jnp.float32),
                     approximate=False)
     return jax.nn.sigmoid(dot(h, params["w3"]) + params["b3"].astype(jnp.float32))

@@ -146,8 +146,7 @@ def pack_bits(codes: np.ndarray, bits: int) -> np.ndarray:
         from nic.core.quant import pack_bits as np_pack
 
         return np_pack(codes, bits)
-    per_byte = 8 // bits
-    out = np.empty((len(codes) + per_byte - 1) // per_byte, dtype=np.uint8)
+    out = np.empty((len(codes) * bits + 7) // 8, dtype=np.uint8)
     n = lib.nic_pack_bits(_u8p(codes), len(codes), bits, _u8p(out))
     return out[:n]
 

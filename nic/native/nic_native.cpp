@@ -15,26 +15,33 @@
 
 extern "C" {
 
-// Pack `count` codes (one per byte, values < 2^bits) into the minimal
-// byte stream; bits ∈ {1,2,4,8}. Returns number of bytes written.
+// Pack `count` codes (one per byte, values < 2^bits) into a TRUE bit
+// stream: code i at absolute bits [i*b, (i+1)*b), LSB-first, straddling
+// byte boundaries when b does not divide 8 — exactly ceil(count*b/8)
+// bytes for every b in [1, 8]. For b | 8 this coincides with the
+// historical codes-per-byte layout (old artifacts stay readable).
+// Returns number of bytes written.
 int64_t nic_pack_bits(const uint8_t* codes, int64_t count, int bits,
                       uint8_t* out) {
     if (bits == 8) {
         memcpy(out, codes, static_cast<size_t>(count));
         return count;
     }
-    const int per_byte = 8 / bits;
-    const int64_t n_out = (count + per_byte - 1) / per_byte;
-    for (int64_t o = 0; o < n_out; ++o) {
-        uint8_t acc = 0;
-        const int64_t base = o * per_byte;
-        for (int i = 0; i < per_byte; ++i) {
-            const int64_t idx = base + i;
-            if (idx < count) acc |= static_cast<uint8_t>(codes[idx] << (i * bits));
+    const uint32_t mask = (1u << bits) - 1u;
+    uint32_t acc = 0;
+    int nbits = 0;
+    int64_t o = 0;
+    for (int64_t i = 0; i < count; ++i) {
+        acc |= (static_cast<uint32_t>(codes[i]) & mask) << nbits;
+        nbits += bits;
+        while (nbits >= 8) {
+            out[o++] = static_cast<uint8_t>(acc & 0xffu);
+            acc >>= 8;
+            nbits -= 8;
         }
-        out[o] = acc;
     }
-    return n_out;
+    if (nbits > 0) out[o++] = static_cast<uint8_t>(acc & 0xffu);
+    return o;
 }
 
 // Inverse of nic_pack_bits: expand the byte stream back to `count` codes.
@@ -44,12 +51,18 @@ void nic_unpack_bits(const uint8_t* packed, int64_t count, int bits,
         memcpy(out, packed, static_cast<size_t>(count));
         return;
     }
-    const int per_byte = 8 / bits;
-    const uint8_t mask = static_cast<uint8_t>((1 << bits) - 1);
-    for (int64_t idx = 0; idx < count; ++idx) {
-        const int64_t o = idx / per_byte;
-        const int i = static_cast<int>(idx % per_byte);
-        out[idx] = static_cast<uint8_t>((packed[o] >> (i * bits)) & mask);
+    const uint32_t mask = (1u << bits) - 1u;
+    uint32_t acc = 0;
+    int nbits = 0;
+    int64_t o = 0;
+    for (int64_t i = 0; i < count; ++i) {
+        while (nbits < bits) {
+            acc |= static_cast<uint32_t>(packed[o++]) << nbits;
+            nbits += 8;
+        }
+        out[i] = static_cast<uint8_t>(acc & mask);
+        acc >>= bits;
+        nbits -= bits;
     }
 }
 

@@ -14,10 +14,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import PartitionSpec as P
 
 from nic.models.hyperprior import HyperpriorModel, rd_loss
+from nic.parallel.mesh import replicate, shard_batch
 
 __all__ = ["HyperpriorTrainer", "eval_image_set"]
+
+# [B, H, W, C] patch batches: the batch axis is the natural 'data' axis
+_BATCH_SPEC = P("data", None, None, None)
 
 
 class HyperpriorTrainer:
@@ -31,14 +36,22 @@ class HyperpriorTrainer:
         patch: int = 256,
         batch: int = 8,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional ('data', 'pixel') device mesh — the patch
+        batch shards over 'data', transform params replicate, and the SPMD
+        partitioner psums grads over ICI (same pattern as NTCTrainer;
+        ``batch`` must be divisible by the data-axis size)."""
         self.model = HyperpriorModel(n, m)
         self.lam = lam
         self.patch = patch
         self.batch = batch
+        self.mesh = mesh
         k_init, self._key = jax.random.split(jax.random.PRNGKey(seed))
         dummy = jnp.zeros((1, patch, patch, 3), jnp.float32)
-        self.params = self.model.init({"params": k_init}, dummy, None)
+        self.params = replicate(
+            self.model.init({"params": k_init}, dummy, None), mesh
+        )
         self._tx = optax.adam(lr)
         self.opt_state = self._tx.init(self.params)
         self.step = 0
@@ -48,7 +61,7 @@ class HyperpriorTrainer:
         )
 
     def _build_step(self):
-        model, lam, tx = self.model, self.lam, self._tx
+        model, lam, tx, mesh = self.model, self.lam, self._tx, self.mesh
 
         def loss_fn(params, batch, key):
             x_hat, y_bits, z_bits = model.apply(params, batch, key)
@@ -56,6 +69,7 @@ class HyperpriorTrainer:
             return loss, (bpp, mse)
 
         def step(params, opt_state, batch, key):
+            batch = shard_batch(batch, mesh, _BATCH_SPEC)
             (loss, (bpp, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, key
             )
@@ -98,7 +112,7 @@ class HyperpriorTrainer:
             self._scan_cache = {}
         if key not in self._scan_cache:
             model, lam, tx = self.model, self.lam, self._tx
-            batch, patch = self.batch, self.patch
+            batch, patch, mesh = self.batch, self.patch, self.mesh
             h, w = img_hw
 
             def loss_fn(params, xb, key):
@@ -120,6 +134,7 @@ class HyperpriorTrainer:
                             images, (i, r, c, 0), (1, patch, patch, 3)
                         )[0]
                     )(idx, rr, cc)
+                    xb = shard_batch(xb, mesh, _BATCH_SPEC)
                     (loss, (bpp, mse)), grads = jax.value_and_grad(
                         loss_fn, has_aux=True
                     )(prm, xb, k_n)
@@ -148,7 +163,8 @@ class HyperpriorTrainer:
             if im.shape[:2] != (h, w) else im
             for im in images
         ]).astype(np.float32)
-        return jnp.asarray(stack)
+        # replicated on the mesh: crops are local dynamic_slices per device
+        return replicate(jnp.asarray(stack), self.mesh)
 
     def train_chunk(self, staged_images, num_steps: int):
         """Run ``num_steps`` compiled steps; returns (loss, bpp, mse)

@@ -350,6 +350,12 @@ class NTCTrainer:
                 n = min(remaining, boundary, chunk)
             else:
                 n = min(remaining, chunk)
+            if n != chunk:
+                # tail/boundary chunks: run the largest power of two ≤ n so
+                # odd remainders decompose into ≤ log2(chunk) recurring
+                # scan lengths (cached) instead of compiling a fresh
+                # program per distinct remainder
+                n = 1 << (n.bit_length() - 1)
             self._key, sub = jax.random.split(self._key)
             if self.max_mip == 0:
                 run = self._scan_fn(0, s.frozen, n)
@@ -477,8 +483,9 @@ class NTCTrainer:
             )
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 
+        backend = cfg.resolved_decode_backend
         if div_slice == 1:
-            if cfg.decode_backend == "pallas" and ndim == 2 and not sparse_g0:
+            if backend == "pallas" and ndim == 2 and not sparse_g0:
                 # fused Pallas kernel (nic.kernels.decode_fused_v2 rev2) —
                 # the fastest backend on TPU (falls back to fast_decode
                 # internally for thumbnail mips / odd sizes)
@@ -492,7 +499,22 @@ class NTCTrainer:
                         mip_to_level=m2l, pe_channels=cfg.pe_channels,
                         use_tri_pe=use_tri_pe, g1_quirk=cfg.tf_g1_quirk,
                     )
-            elif cfg.decode_backend in ("fast", "pallas"):
+            elif backend == "pallas" and ndim == 3:
+                # fused spatiotemporal kernel (nic.kernels.decode_fused_3d)
+                # — methods 3 AND 4 (sparse G0 only changes the host-side
+                # P fold); same internal thumbnail-mip fallback
+                from nic.kernels.decode_fused_3d import decode_volume_fused
+
+                m2l = self.mip_to_level
+
+                def decode(fp, mlp):
+                    return decode_volume_fused(
+                        fp, mlp, mip, image_size=cfg.image_size,
+                        mip_to_level=m2l, pe_channels=cfg.pe_channels,
+                        use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+                        g1_quirk=cfg.tf_g1_quirk,
+                    )
+            elif backend in ("fast", "pallas"):
                 # folded-first-layer decode (nic.grids.fastdecode): exact,
                 # ~2× fewer matmul FLOPs, no [N, F] feature matrix
                 # (pallas lands here for 3D / sparse-G0 artifacts)
@@ -529,8 +551,10 @@ class NTCTrainer:
                 a for d in range(ndim) for a in (d, ndim + d)
             ) + (2 * ndim,)
 
-            if cfg.decode_backend == "fast":
+            if backend in ("fast", "pallas"):
                 # folded-first-layer tiles: hoist the fold out of the vmap
+                # (the fused kernels are whole-asset; tiled decode takes
+                # the folded XLA path)
                 from nic.grids.fastdecode import (fast_decode,
                                                   precompute_first_layer)
 

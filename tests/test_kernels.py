@@ -246,3 +246,84 @@ def test_fused_v2_lane_packed_path():
     assert seen["packed"] is True
     np.testing.assert_allclose(got, want, atol=2e-5)
     np.testing.assert_allclose(got2, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("sparse_g0", [False, True])
+@pytest.mark.parametrize("mip", [0, 1, 2, 3, 4])
+def test_fused_3d_matches_fastdecode(mip, sparse_g0):
+    """3D fused kernel parity vs the folded XLA path across mips, for
+    method 3 (dense 8-corner G0, tri-PE) and method 4 (sparse even-parity
+    G0, sinusoidal PE). mip=3 is e=1 → internal fast_decode fallback."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_3d import decode_volume_fused
+
+    image_size, base, c, pe = 32, 8, 4, 4  # small: interpret mode is slow
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    fp, levels = create_pyramid(k1, base, channels=c, num_bits=8, ndim=3)
+    assert levels == 2
+    m2l = pyramid_mip_levels(image_size, base)
+    n_corners = 4 if sparse_g0 else 8
+    use_tri_pe = not sparse_g0  # reference: method 4 hardcodes sinusoidal
+    mlp = init_mlp(k2, c * (n_corners + 1) + pe * 3 + 1, 16, 3)
+
+    want = np.asarray(
+        fast_decode(fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=use_tri_pe, ndim=3,
+                    sparse_g0=sparse_g0)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_volume_fused(
+                fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+            )
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_3d_lane_packed_multiblock():
+    """hidden=64 (reference default) → the packed block-diagonal path;
+    block_rows/cols below the frame size force a multi-block grid with
+    the per-frame halo windows and the column-block-major retile."""
+    import nic.kernels.decode_fused_3d as k3mod
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_3d import decode_volume_fused
+
+    image_size, base, c, pe, hidden = 32, 8, 12, 6, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    fp, _ = create_pyramid(k1, base, channels=c, num_bits=8, ndim=3)
+    m2l = pyramid_mip_levels(image_size, base)
+    mlp = init_mlp(k2, c * 9 + pe * 3 + 1, hidden, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=True, ndim=3)
+    )
+    seen = {}
+    orig = k3mod._call3
+
+    def spy(*a, **kw):
+        seen["packed"] = kw.get("packed")
+        return orig(*a, **kw)
+
+    k3mod._call3 = spy
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                decode_volume_fused(
+                    fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=True,
+                )
+            )
+            got2 = np.asarray(
+                decode_volume_fused(
+                    fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=True, block_rows=16,
+                    block_cols=16,
+                )
+            )
+    finally:
+        k3mod._call3 = orig
+    assert seen["packed"] is True
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got2, want, atol=2e-5)

@@ -159,3 +159,30 @@ def test_movie_frame_sheet_rows_parallel_parity():
     rec_1 = tr_1.reconstruct()
     assert abs(float(loss_s) - float(loss_1)) < 1e-5
     np.testing.assert_allclose(rec_s, rec_1, atol=1e-4)
+
+
+@requires_8
+def test_hyperprior_data_parallel_parity():
+    """HyperpriorTrainer on the mesh (batch over 'data', params replicated)
+    must match the single-device trainer bit-near: same seed → same crops →
+    psum'd grads reproduce the unsharded update."""
+    from nic.train.hyperprior import HyperpriorTrainer
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)]
+
+    def make(mesh):
+        return HyperpriorTrainer(n=8, m=12, lam=0.01, patch=64, batch=8,
+                                 seed=0, mesh=mesh)
+
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_s = make(mesh)
+        staged_s = tr_s.stage_images(imgs)
+        lh_s, bh_s, _ = tr_s.train_chunk(staged_s, 4)
+    tr_1 = make(None)
+    lh_1, bh_1, _ = tr_1.train_chunk(tr_1.stage_images(imgs), 4)
+    np.testing.assert_allclose(lh_s, lh_1, rtol=2e-4)
+    np.testing.assert_allclose(bh_s, bh_1, rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(tr_s.params), jax.tree.leaves(tr_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -56,7 +56,7 @@ def test_pack_unpack_grid_roundtrip(bits):
     assert int(np.asarray(code).max()) <= 2**bits - 1
 
 
-@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_subbyte_bitpack_roundtrip(bits):
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 2**bits, size=1001).astype(np.uint8)
@@ -64,6 +64,18 @@ def test_subbyte_bitpack_roundtrip(bits):
     assert packed.nbytes == -(-1001 * bits // 8)  # true payload size
     back = quant.unpack_bits(packed, bits, 1001)
     np.testing.assert_array_equal(back, codes)
+
+
+def test_bitpack_layout_backward_compatible():
+    """For b | 8 the true-bit-stream layout must equal the historical
+    codes-per-byte layout (old artifacts stay readable)."""
+    for bits in (1, 2, 4):
+        per_byte = 8 // bits
+        codes = np.arange(per_byte * 3, dtype=np.uint8) % (1 << bits)
+        legacy = np.zeros(3, np.uint8)
+        for i in range(per_byte):
+            legacy |= codes.reshape(-1, per_byte)[:, i] << (i * bits)
+        np.testing.assert_array_equal(quant.pack_bits(codes, bits), legacy)
 
 
 def test_qat_noise_range():
