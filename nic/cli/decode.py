@@ -25,10 +25,13 @@ def run(argv=None):
                    default="auto",
                    help="auto = fused Pallas kernel on TPU (the fastest "
                         "backend, BASELINE.md), folded XLA path elsewhere")
-    p.add_argument("--gelu", choices=["exact", "tanh", "quick", "poly"],
+    p.add_argument("--gelu",
+                   choices=["exact", "tanh", "quick", "poly", "erfpoly"],
                    default="exact",
                    help="pallas backend GELU: 'tanh'/'poly' are ~2x faster "
-                        "with error well under one 8-bit quantization step")
+                        "with error well under one 8-bit quantization step; "
+                        "'erfpoly' is the exact-class polynomial "
+                        "(|Δgelu| < 1e-6, u8-identical decodes)")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     args = p.parse_args(argv)

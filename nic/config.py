@@ -73,6 +73,14 @@ class CompressionConfig:
     mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
     entropy_code_grids: bool = False  # rANS-code grid codes vs fixed-length packing
     tf_resume: bool = False          # resume training from the newest checkpoint
+    train_forward: str = "gather"    # "gather" (reference-shaped [N,F] feature build)
+                                     # | "folded" (first MLP layer folded into the
+                                     # grids at node resolution, fastdecode algebra)
+    qat_noise_where: str = "feature"  # "feature" (parity: iid noise on every decoder
+                                     # input channel, image_compression.py:248-254) |
+                                     # "node" (noise the active grids' nodes — models
+                                     # the interpolated quantization error the decoder
+                                     # actually sees at eval; ~100× fewer RNG draws)
     div_size: int = 10               # tiled-decode granularity (decode_image div_size,
                                      # image_compression.py:307-346): tiles/axis =
                                      # 2^max(max_mip - mip - div_size, 0)
@@ -194,6 +202,8 @@ _CLI_KEYS: dict[str, str] = {
     "ENTROPY_CODE_GRIDS": "entropy_code_grids",
     "TF_RESUME": "tf_resume",
     "DIV_SIZE": "div_size",
+    "TRAIN_FORWARD": "train_forward",
+    "QAT_NOISE_WHERE": "qat_noise_where",
 }
 
 

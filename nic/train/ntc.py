@@ -41,8 +41,9 @@ from nic.config import CompressionConfig
 from nic.core.metrics import psnr
 from nic.core.quant import qat_noise, quantize_to_bit
 from nic.grids import pyramid as fp_lib
+from nic.grids.fastdecode import first_layer_acc, precompute_first_layer
 from nic.grids.sample import decoder_input
-from nic.models.mlp import apply_mlp, init_mlp
+from nic.models.mlp import apply_mlp, apply_mlp_tail, init_mlp
 from nic.parallel.mesh import data_pixel_spec, replicate, shard_batch
 
 __all__ = ["NTCState", "NTCTrainer", "sample_lod", "UniformLodSchedule"]
@@ -189,9 +190,34 @@ class NTCTrainer:
         matmul_dtype = jnp.bfloat16 if mixed else None
 
         mesh = self.mesh
+        use_folded = cfg.train_forward == "folded"
+        noise_node = cfg.qat_noise_where == "node"
+        mip_to_level = self.mip_to_level
+
+        def noised_grids(fp, noise_key):
+            # node-resolution QAT noise: perturb the two ACTIVE grids'
+            # nodes instead of every per-pixel decoder-input channel. This
+            # models what hard quantization actually does at eval (node
+            # errors, bilinearly interpolated and correlated across pixels
+            # sharing corners) and draws ~100× fewer uniforms per step than
+            # the reference's [N, F] feature noise. PE/lod channels carry
+            # no noise in this mode — they are never quantized.
+            k0, k1 = jax.random.split(noise_key)
+            fp = list(fp)
+            fp[fl * 2] = fp[fl * 2] + qat_noise(
+                k0, fp[fl * 2].shape, cfg.fp_bits, jnp.float32
+            )
+            fp[fl * 2 + 1] = fp[fl * 2 + 1] + qat_noise(
+                k1, fp[fl * 2 + 1].shape, cfg.fp_bits, jnp.float32
+            )
+            return tuple(fp)
 
         def batch_forward(fp, mlp, origins, noise_key):
             fp = tuple(g.astype(dtype) for g in fp)
+            if not frozen and noise_node:
+                fp = noised_grids(fp, noise_key)
+            if use_folded:
+                return folded_forward(fp, mlp, origins, noise_key)
             def one(origin):
                 return decoder_input(
                     fp, fl, origin, step, n,
@@ -205,7 +231,7 @@ class NTCTrainer:
             # a crop; the partitioner psums grid/MLP grads over the mesh
             x = shard_batch(x, mesh, data_pixel_spec(1))
             x = x.reshape(num_crops * n**ndim, -1)
-            if not frozen:
+            if not frozen and not noise_node:
                 # QAT noise must be added in fp32: at FP_BITS=8 its amplitude
                 # (2^-9) is below bf16 resolution near 0.5 (ε≈2^-8), so a
                 # bf16 activation silently drops it and QAT degenerates.
@@ -213,6 +239,49 @@ class NTCTrainer:
                     noise_key, x.shape, cfg.fp_bits, jnp.float32
                 )
             return apply_mlp(mlp, x, matmul_dtype=matmul_dtype)
+
+        def folded_forward(fp, mlp, origins, noise_key):
+            # Folded-first-layer training forward (TRAIN_FORWARD=folded):
+            # the decode-side fastdecode algebra, differentiated through.
+            # W1 is folded into the grids ONCE per step at node resolution,
+            # so the [N, F] feature matrix is never built and the first
+            # layer's pixel-resolution matmul disappears; the backward pass
+            # scatter-adds into the H-lane planes and reaches G0/G1 through
+            # the tiny node-resolution fold matmuls.
+            planes = precompute_first_layer(
+                fp, fl, mlp, ndim=ndim,
+                channels=cfg.feature_pyramid_channels,
+                pe_channels=cfg.pe_channels, sparse_g0=sparse_g0,
+            )
+
+            def one(origin):
+                return first_layer_acc(
+                    fp, mlp, lod, image_size=cfg.image_size,
+                    mip_to_level=mip_to_level, pe_channels=cfg.pe_channels,
+                    use_tri_pe=use_tri_pe, ndim=ndim, sparse_g0=sparse_g0,
+                    origin=tuple(origin[d] for d in range(ndim)), n=n,
+                    g1_quirk=cfg.tf_g1_quirk, planes=planes,
+                )
+
+            acc = jax.vmap(one)(origins)  # [crops, n.., H]
+            acc = shard_batch(acc, mesh, data_pixel_spec(1))
+            acc = acc.reshape(num_crops * n**ndim, -1)
+            if not frozen and not noise_node:
+                # feature noise in the folded basis: (x+ε)·W1 = x·W1 + ε·W1
+                # (same ε draw as the gather path — equal key and shape)
+                eps = qat_noise(
+                    noise_key, (num_crops * n**ndim, mlp["w1"].shape[0]),
+                    cfg.fp_bits, jnp.float32,
+                )
+                if matmul_dtype is None:
+                    acc = acc + eps @ mlp["w1"]
+                else:
+                    acc = acc + jnp.dot(
+                        eps.astype(matmul_dtype),
+                        mlp["w1"].astype(matmul_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+            return apply_mlp_tail(mlp, acc, matmul_dtype=matmul_dtype)
 
         def targets_of(origins):
             def one(origin):

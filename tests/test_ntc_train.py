@@ -218,3 +218,113 @@ def test_2d_tiled_decode_fast_backend():
     tiled = np.asarray(tr.decode(0, div_size=3))
     whole = np.asarray(tr.decode(0))
     np.testing.assert_allclose(tiled, whole, atol=2e-5)
+
+
+# ----------------------------------------------------------------------
+# TRAIN_FORWARD=folded: the fastdecode fold algebra differentiated
+# through in training. (x+ε)·W1 = x·W1 + ε·W1, so a single step from an
+# identical init must match the gather path to float-reassociation
+# tolerance — for BOTH QAT phases and all grid geometries.
+# ----------------------------------------------------------------------
+
+import jax
+
+
+def _one_step(cfg, images, lod, frozen):
+    tr = NTCTrainer(cfg, images)
+    fn = tr._build_step(lod, frozen, jit=False)
+    s = tr.state
+    key = jax.random.PRNGKey(7)
+    fp, mlp, _, _, loss, _ = fn(s.fp, s.mlp, s.opt_fp, s.opt_mlp, key)
+    return fp, mlp, float(loss)
+
+
+def _assert_folded_equiv(cfg, images, lod=0):
+    cfg_f = dataclasses.replace(cfg, train_forward="folded")
+    for frozen in (False, True):
+        fp_g, mlp_g, loss_g = _one_step(cfg, images, lod, frozen)
+        fp_f, mlp_f, loss_f = _one_step(cfg_f, images, lod, frozen)
+        np.testing.assert_allclose(loss_g, loss_f, rtol=1e-4, atol=1e-7)
+        for a, b in zip(fp_g, fp_f):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+            )
+        for k in mlp_g:
+            np.testing.assert_allclose(
+                np.asarray(mlp_g[k]), np.asarray(mlp_f[k]),
+                rtol=5e-4, atol=1e-5,
+            )
+
+
+def test_folded_training_forward_2d():
+    _assert_folded_equiv(_tiny_cfg(), [_toy_image(32)])
+
+
+def test_folded_training_forward_2d_mip():
+    cfg = _tiny_cfg(tf_no_mip=False, max_mip_level=5)
+    img = _toy_image(32)
+    mips = [img[:, :: 2**i, :: 2**i] for i in range(6)]
+    _assert_folded_equiv(cfg, mips, lod=1)
+
+
+def _tiny_3d_cfg(method):
+    return _tiny_cfg(
+        image_size=16, image_dimension=3, compression_method=method,
+        crop_mip_level=3, num_crops=2, num_epochs=60, max_mip_level=4,
+    )
+
+
+def _toy_volume():
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(0, 1, (3, 16, 16, 16)).astype(np.float32)
+    return (vol + np.roll(vol, 1, axis=1)) / 2
+
+
+def test_folded_training_forward_3d_method3():
+    _assert_folded_equiv(_tiny_3d_cfg(3), [_toy_volume()])
+
+
+def test_folded_training_forward_3d_method4_sparse_g0():
+    _assert_folded_equiv(_tiny_3d_cfg(4), [_toy_volume()])
+
+
+def test_folded_training_forward_bf16_runs():
+    cfg = _tiny_cfg(mlp_num_dtype=16, train_forward="folded")
+    tr = NTCTrainer(cfg, [_toy_image(32)])
+    for _ in range(3):
+        loss, _, _ = tr.train_step()
+    assert np.isfinite(float(loss))
+
+
+# ----------------------------------------------------------------------
+# QAT_NOISE_WHERE=node: noise the active grids' nodes instead of every
+# [N, F] decoder-input channel. Different regularizer semantics (the
+# interpolated-quantization-error model), so the contract is training
+# health, not numeric parity with the reference schedule.
+# ----------------------------------------------------------------------
+
+
+def test_node_noise_overfit_smoke():
+    for fwd in ("gather", "folded"):
+        cfg = _tiny_cfg(qat_noise_where="node", train_forward=fwd)
+        img = _toy_image(32)
+        tr = NTCTrainer(cfg, [img])
+        for _ in range(cfg.num_epochs):
+            loss, _, _ = tr.train_step()
+        assert tr.state.frozen
+        rec = np.asarray(tr.decode(0))
+        p1 = float(psnr(rec * 255, img.transpose(1, 2, 0) * 255,
+                        max_value=255.0))
+        assert p1 > 14.0, f"{fwd}: node-noise training unhealthy ({p1:.2f} dB)"
+
+
+def test_node_noise_matches_feature_when_frozen():
+    # after the freeze boundary no noise is drawn at all, so the two
+    # noise placements must be numerically identical
+    cfg_a = _tiny_cfg(qat_noise_where="node")
+    cfg_b = _tiny_cfg()
+    fp_a, mlp_a, loss_a = _one_step(cfg_a, [_toy_image(32)], 0, True)
+    fp_b, mlp_b, loss_b = _one_step(cfg_b, [_toy_image(32)], 0, True)
+    np.testing.assert_allclose(loss_a, loss_b, rtol=0, atol=0)
+    for a, b in zip(fp_a, fp_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
