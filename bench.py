@@ -189,6 +189,10 @@ def main() -> None:
             ("pallas_exact_2048_gpix_s", dict(dtype=jnp.bfloat16)),
             ("pallas_erfpoly_2048_gpix_s",
              dict(dtype=jnp.bfloat16, gelu="erfpoly")),
+            # "poly" (8-FMA even polynomial, |Δgelu| 3.6e-4) decodes the
+            # flagship artifact u8-identically to exact-erf (the queue2
+            # [4/6] artifact check) — it counts as exact-class
+            ("pallas_poly_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="poly")),
             ("pallas_tanh_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="tanh")),
         ):
             try:
