@@ -188,18 +188,15 @@ def _call3(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, n_t: int, R: int,
     )
 
 
-def decode_volume_fused(
+def _prepare_3d(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
-    pe_channels: int, use_tri_pe: bool = True, sparse_g0: bool = False,
-    g1_quirk: bool = True, dtype=None, out_dtype=jnp.float32,
-    block_rows: int | None = None, block_cols: int | None = None,
-    gelu: str = "exact",
+    pe_channels: int, use_tri_pe: bool, sparse_g0: bool, dtype,
+    block_rows, block_cols,
 ):
-    """Full-volume 3D fused decode (one Pallas kernel over all frames).
-
-    Returns [n, n, n, 3] with n = image_size // 2^mip_level. Methods 3
-    (dense G0) and 4 (``sparse_g0=True``) share the kernel — only the
-    host-side P fold differs."""
+    """Host/XLA frame+column stage shared by the single-device entry and
+    the frame-sharded multi-device entry (nic.kernels.decode_sharded).
+    Returns ``None`` when the geometry needs the XLA fallback, else
+    ``(pc, c1v, pe_u, w2, b2, w3, b3, geom)``."""
     fl = mip_to_level[mip_level]
     e = mip_level - (fl + 1) * 2
     n = image_size // (2**mip_level)
@@ -211,13 +208,7 @@ def decode_volume_fused(
     R = block_rows or max(f1, f, min(n, 32))
     C = block_cols or min(n, 2048 if 2 * mlp["w2"].shape[0] == 128 else 1024)
     if e > 0 or n % R or n < R or n % C or R % f1 or R % f:
-        out = fast_decode(
-            fp, mlp, mip_level, image_size=image_size,
-            mip_to_level=mip_to_level, pe_channels=pe_channels,
-            use_tri_pe=use_tri_pe, ndim=3, sparse_g0=sparse_g0,
-            g1_quirk=g1_quirk,
-        )
-        return out.astype(out_dtype)
+        return None
 
     p_vol, c1_vol, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=3, channels=channels, pe_channels=pe_channels,
@@ -265,5 +256,37 @@ def decode_volume_fused(
         and (R * C // 2) % 128 == 0
         and n % 2 == 0
     )
-    return _call3(pc, c1v, pe_u, w2, b2, w3, b3, n=n, n_t=n, R=R, C=C,
-                  f=f, f1=f1, out_dtype=out_dtype, gelu=gelu, packed=packed)
+    geom = dict(n=n, R=R, C=C, f=f, f1=f1, packed=packed)
+    return pc, c1v, pe_u, w2, b2, w3, b3, geom
+
+
+def decode_volume_fused(
+    fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
+    pe_channels: int, use_tri_pe: bool = True, sparse_g0: bool = False,
+    g1_quirk: bool = True, dtype=None, out_dtype=jnp.float32,
+    block_rows: int | None = None, block_cols: int | None = None,
+    gelu: str = "exact",
+):
+    """Full-volume 3D fused decode (one Pallas kernel over all frames).
+
+    Returns [n, n, n, 3] with n = image_size // 2^mip_level. Methods 3
+    (dense G0) and 4 (``sparse_g0=True``) share the kernel — only the
+    host-side P fold differs."""
+    prep = _prepare_3d(
+        fp, mlp, mip_level, image_size=image_size,
+        mip_to_level=mip_to_level, pe_channels=pe_channels,
+        use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
+        block_rows=block_rows, block_cols=block_cols,
+    )
+    if prep is None:
+        out = fast_decode(
+            fp, mlp, mip_level, image_size=image_size,
+            mip_to_level=mip_to_level, pe_channels=pe_channels,
+            use_tri_pe=use_tri_pe, ndim=3, sparse_g0=sparse_g0,
+            g1_quirk=g1_quirk,
+        )
+        return out.astype(out_dtype)
+    pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    n = geom.pop("n")
+    return _call3(pc, c1v, pe_u, w2, b2, w3, b3, n=n, n_t=n,
+                  out_dtype=out_dtype, gelu=gelu, **geom)

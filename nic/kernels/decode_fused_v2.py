@@ -166,12 +166,17 @@ def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu", "packed"),
+    static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu", "packed",
+                     "nc"),
 )
 def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
           f: int, f1: int, out_dtype, gelu: str = "exact",
-          packed: bool = False):
-    nrow, ncol = n // R, n // C
+          packed: bool = False, nc: int | None = None):
+    # n = output rows; nc = output columns (defaults to n — square image).
+    # The rectangular form is what the row-sharded multi-device decode
+    # (nic.kernels.decode_sharded) runs per device.
+    nc = n if nc is None else nc
+    nrow, ncol = n // R, nc // C
     steps = nrow * ncol
     m = R // f1
     hidden = w2.shape[0]
@@ -184,8 +189,8 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
         # block-diagonal weights: halves both VPU elementwise work and
         # MXU row count for the same useful FLOPs.
         C = C // 2  # ncol is unchanged: packed columns halve with C
-        pc = pc.reshape(pc.shape[0], n // 2, 2 * hidden)
-        c1v = c1v.reshape(c1v.shape[0], n // 2, 2 * hidden)
+        pc = pc.reshape(pc.shape[0], nc // 2, 2 * hidden)
+        c1v = c1v.reshape(c1v.shape[0], nc // 2, 2 * hidden)
         pe_u = jnp.concatenate([pe_u, pe_u], axis=-1)
         z = jnp.zeros_like(w2)
         w2 = jnp.concatenate(
@@ -259,32 +264,34 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
         cost_estimate=pl.CostEstimate(
             # useful FLOPs: the packed block-diagonal weights' zero
             # blocks do no useful work; poly GELU has no transcendentals
-            flops=2 * n * n * (useful_h * useful_h + useful_h * 3),
+            flops=2 * n * nc * (useful_h * useful_h + useful_h * 3),
             bytes_accessed=(pc.size + 2 * c1v.size) * pc.dtype.itemsize
-            + n * n * 3 * 4,
-            transcendentals=0 if gelu == "poly" else 2 * n * n * useful_h,
+            + n * nc * 3 * 4,
+            transcendentals=0 if gelu == "poly" else 2 * n * nc * useful_h,
         ),
     )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
-    # untile: (OC, tile-major pixels) → [N, N, 3] (one XLA transpose)
+    # untile: (OC, tile-major pixels) → [N, NC, 3] (one XLA transpose)
     if packed:
         # axis 0: [r,g,b] of even pixel, then [r,g,b] of odd pixel
         return (
             out.reshape(2, 3, nrow, ncol, R, C)
             .transpose(2, 4, 3, 5, 0, 1)
-            .reshape(n, n, 3)
+            .reshape(n, nc, 3)
         )
     return out.reshape(3, nrow, ncol, R, C).transpose(1, 3, 2, 4, 0).reshape(
-        n, n, 3
+        n, nc, 3
     )
 
 
-def decode_image_fused_v2(
+def _prepare_2d(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
-    pe_channels: int, use_tri_pe: bool = True, g1_quirk: bool = True,
-    dtype=None, out_dtype=jnp.float32, block_rows: int | None = None,
-    block_cols: int | None = None, gelu: str = "exact",
+    pe_channels: int, use_tri_pe: bool, dtype, block_rows, block_cols,
 ):
-    """Full-image 2D fused decode, v2 rev2 (one Pallas kernel)."""
+    """Host/XLA column stage shared by the single-device entry and the
+    row-sharded multi-device entry (nic.kernels.decode_sharded). Returns
+    ``None`` when the geometry needs the XLA fallback, else
+    ``(pc, c1v, pe_u, w2, b2, w3, b3, geom)`` with ``geom`` the static
+    kwargs for ``_call``."""
     fl = mip_to_level[mip_level]
     e = mip_level - (fl + 1) * 2
     n = image_size // (2**mip_level)
@@ -299,13 +306,7 @@ def decode_image_fused_v2(
     hidden_ = mlp["w2"].shape[0]
     C = block_cols or min(n, 2048 if 2 * hidden_ == 128 else 1024)
     if e > 0 or n % R or n < R or n % C or R % f1 or R % f:
-        # thumbnail mips / odd sizes: XLA fast path
-        out = fast_decode(
-            fp, mlp, mip_level, image_size=image_size,
-            mip_to_level=mip_to_level, pe_channels=pe_channels,
-            use_tri_pe=use_tri_pe, ndim=2, g1_quirk=g1_quirk,
-        )
-        return out.astype(out_dtype)
+        return None
 
     p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=2, channels=channels, pe_channels=pe_channels
@@ -353,5 +354,30 @@ def decode_image_fused_v2(
         and (R * C // 2) % 128 == 0
         and n % 2 == 0
     )
-    return _call(pc, c1v, pe_u, w2, b2, w3, b3, n=n, R=R, C=C, f=f,
-                 f1=f1, out_dtype=out_dtype, gelu=gelu, packed=packed)
+    geom = dict(n=n, R=R, C=C, f=f, f1=f1, packed=packed)
+    return pc, c1v, pe_u, w2, b2, w3, b3, geom
+
+
+def decode_image_fused_v2(
+    fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
+    pe_channels: int, use_tri_pe: bool = True, g1_quirk: bool = True,
+    dtype=None, out_dtype=jnp.float32, block_rows: int | None = None,
+    block_cols: int | None = None, gelu: str = "exact",
+):
+    """Full-image 2D fused decode, v2 rev2 (one Pallas kernel)."""
+    prep = _prepare_2d(
+        fp, mlp, mip_level, image_size=image_size, mip_to_level=mip_to_level,
+        pe_channels=pe_channels, use_tri_pe=use_tri_pe, dtype=dtype,
+        block_rows=block_rows, block_cols=block_cols,
+    )
+    if prep is None:
+        # thumbnail mips / odd sizes: XLA fast path
+        out = fast_decode(
+            fp, mlp, mip_level, image_size=image_size,
+            mip_to_level=mip_to_level, pe_channels=pe_channels,
+            use_tri_pe=use_tri_pe, ndim=2, g1_quirk=g1_quirk,
+        )
+        return out.astype(out_dtype)
+    pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    return _call(pc, c1v, pe_u, w2, b2, w3, b3, out_dtype=out_dtype,
+                 gelu=gelu, **geom)

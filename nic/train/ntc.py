@@ -553,16 +553,31 @@ class NTCTrainer:
             return apply_mlp(mlp, x).reshape((n,) * ndim + (3,))
 
         backend = cfg.resolved_decode_backend
+        n_mesh_dev = (
+            int(np.prod(self.mesh.devices.shape)) if self.mesh is not None
+            else 1
+        )
         if div_slice == 1:
             if backend == "pallas" and ndim == 2 and not sparse_g0:
                 # fused Pallas kernel (nic.kernels.decode_fused_v2 rev2) —
                 # the fastest backend on TPU (falls back to fast_decode
-                # internally for thumbnail mips / odd sizes)
+                # internally for thumbnail mips / odd sizes); on a
+                # multi-device mesh the image rows shard over the devices
+                # (nic.kernels.decode_sharded — SP over the pixel axis)
                 from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+                from nic.kernels.decode_sharded import \
+                    decode_image_fused_sharded
 
                 m2l = self.mip_to_level
+                mesh = self.mesh
 
                 def decode(fp, mlp):
+                    if n_mesh_dev > 1:
+                        return decode_image_fused_sharded(
+                            fp, mlp, mip, mesh, image_size=cfg.image_size,
+                            mip_to_level=m2l, pe_channels=cfg.pe_channels,
+                            use_tri_pe=use_tri_pe, g1_quirk=cfg.tf_g1_quirk,
+                        )
                     return decode_image_fused_v2(
                         fp, mlp, mip, image_size=cfg.image_size,
                         mip_to_level=m2l, pe_channels=cfg.pe_channels,
@@ -571,12 +586,23 @@ class NTCTrainer:
             elif backend == "pallas" and ndim == 3:
                 # fused spatiotemporal kernel (nic.kernels.decode_fused_3d)
                 # — methods 3 AND 4 (sparse G0 only changes the host-side
-                # P fold); same internal thumbnail-mip fallback
+                # P fold); same internal thumbnail-mip fallback; frames
+                # shard over a multi-device mesh
                 from nic.kernels.decode_fused_3d import decode_volume_fused
+                from nic.kernels.decode_sharded import \
+                    decode_volume_fused_sharded
 
                 m2l = self.mip_to_level
+                mesh = self.mesh
 
                 def decode(fp, mlp):
+                    if n_mesh_dev > 1:
+                        return decode_volume_fused_sharded(
+                            fp, mlp, mip, mesh, image_size=cfg.image_size,
+                            mip_to_level=m2l, pe_channels=cfg.pe_channels,
+                            use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+                            g1_quirk=cfg.tf_g1_quirk,
+                        )
                     return decode_volume_fused(
                         fp, mlp, mip, image_size=cfg.image_size,
                         mip_to_level=m2l, pe_channels=cfg.pe_channels,

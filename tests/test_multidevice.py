@@ -186,3 +186,71 @@ def test_hyperprior_data_parallel_parity():
     np.testing.assert_allclose(bh_s, bh_1, rtol=2e-4)
     for a, b in zip(jax.tree.leaves(tr_s.params), jax.tree.leaves(tr_1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@requires_8
+def test_sharded_fused_decode_2d_parity():
+    """Row-sharded fused decode (shard_map over the mesh) must be
+    bit-near the XLA fast path — device k decodes rows [k·n/D, (k+1)·n/D)
+    with the C1 interpolation halo duplicated host-side."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nic.grids.fastdecode import fast_decode
+    from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+    from nic.kernels.decode_sharded import decode_image_fused_sharded
+    from nic.models.mlp import init_mlp
+
+    image_size, base, c, pe = 64, 16, 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2)
+    m2l = pyramid_mip_levels(image_size, base)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=True, ndim=2)
+    )
+    mesh = make_mesh(4, data_axis=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_sharded(
+                fp, mlp, 0, mesh, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=True,
+            )
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@requires_8
+@pytest.mark.parametrize("sparse_g0", [False, True])
+def test_sharded_fused_decode_3d_parity(sparse_g0):
+    """Frame-sharded 3D fused decode (methods 3 and 4) must match the XLA
+    fast path — per-frame planes split disjointly, no halo."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nic.grids.fastdecode import fast_decode
+    from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+    from nic.kernels.decode_sharded import decode_volume_fused_sharded
+    from nic.models.mlp import init_mlp
+
+    image_size, base, c, pe = 16, 4, 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=3)
+    m2l = pyramid_mip_levels(image_size, base)
+    n_in = c * (5 if sparse_g0 else 9) + pe * 3 + 1
+    mlp = init_mlp(k2, n_in, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=False, ndim=3,
+                    sparse_g0=sparse_g0)
+    )
+    mesh = make_mesh(4, data_axis=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_volume_fused_sharded(
+                fp, mlp, 0, mesh, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=False, sparse_g0=sparse_g0,
+            )
+        )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
