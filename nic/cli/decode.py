@@ -34,6 +34,10 @@ def run(argv=None):
                         "(|Δgelu| < 1e-6, u8-identical decodes)")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the pallas decode over this many local "
+                        "devices (rows in 2D, frames in 3D — "
+                        "nic.kernels.decode_sharded); 1 = single device")
     args = p.parse_args(argv)
 
     import jax
@@ -77,7 +81,30 @@ def run(argv=None):
     if backend == "pallas" and ndim == 2 and sparse_g0:
         # sparse G0 is 3D-only in the reference; no 2D kernel covers it
         backend = "fast"
-    if backend == "pallas":
+    if backend == "pallas" and args.devices > 1:
+        from nic.kernels.decode_sharded import (decode_image_fused_sharded,
+                                                decode_volume_fused_sharded)
+        from nic.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices, data_axis=args.devices)
+        if ndim == 3:
+            decode = jax.jit(
+                lambda fp, mlp: decode_volume_fused_sharded(
+                    fp, mlp, mip, mesh, image_size=image_size,
+                    mip_to_level=mip_to_level, pe_channels=pe_channels,
+                    use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+                    gelu=args.gelu,
+                )
+            )
+        else:
+            decode = jax.jit(
+                lambda fp, mlp: decode_image_fused_sharded(
+                    fp, mlp, mip, mesh, image_size=image_size,
+                    mip_to_level=mip_to_level, pe_channels=pe_channels,
+                    use_tri_pe=use_tri_pe, gelu=args.gelu,
+                )
+            )
+    elif backend == "pallas":
         if ndim == 3:
             from nic.kernels.decode_fused_3d import decode_volume_fused
 
