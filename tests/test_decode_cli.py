@@ -96,12 +96,16 @@ def test_decode_cli_method3_ignores_raw_tri_pe_flag(tmp_path):
     )
 
 
-def test_decode_cli_pallas_rejects_sparse_g0(tmp_path):
-    import pytest
+def test_decode_cli_pallas_handles_sparse_g0(tmp_path):
+    """Round 3: a method-4 (sparse-G0) 3D artifact decodes through the
+    fused spatiotemporal kernel (round 2 refused it with SystemExit) and
+    matches the XLA fast path."""
+    import numpy as np
 
     from nic.cli.decode import run as decode_run
 
     cfg, tr = _train_3d(4)
     art = _save_art(tmp_path, cfg, tr, "m4b.npz")
-    with pytest.raises(SystemExit):
-        decode_run([art, "--backend", "pallas"])
+    got = np.asarray(decode_run([art, "--backend", "pallas"]))
+    want = np.asarray(decode_run([art, "--backend", "fast"]))
+    np.testing.assert_allclose(got, want, atol=2e-5)
