@@ -178,9 +178,20 @@ def main() -> None:
                                       train_forward="folded",
                                       qat_noise_where="node",
                                       rng_impl="rbg")),
+        # crop-batch scaling (VERDICT r2 #4: 16 crops bought only 1.5×
+        # pixel throughput on the gather path — does the folded forward,
+        # which never builds the [N, F] feature matrix, scale better?)
+        ("bf16_gather_feature_crops16", dict(mlp_num_dtype=16,
+                                             num_crops=16)),
+        ("bf16_folded_node_crops16", dict(mlp_num_dtype=16,
+                                          train_forward="folded",
+                                          qat_noise_where="node",
+                                          num_crops=16)),
     ]
     for tag, kw in variants:
-        cfg = CompressionConfig(num_epochs=10**6, **kw, **shape_kw)
+        # variant kwargs win over the shape preset (--tiny pins num_crops;
+        # the crops16 scaling variants override it)
+        cfg = CompressionConfig(**{"num_epochs": 10**6, **shape_kw, **kw})
         out[f"steps_s_{tag}"] = round(steps_per_s(cfg, images, n), 2)
         print(f"{tag}: {out[f'steps_s_{tag}']} steps/s", file=sys.stderr)
 
