@@ -114,6 +114,7 @@ def run(argv=None) -> dict:
         with log.span("train time"):
             # chunked compiled training: one device dispatch per
             # interval_print block (lax.scan) instead of per epoch
+            chunk_idx = 0
             while trainer.state.step < cfg.num_epochs:
                 start = trainer.state.step
                 n = min(cfg.interval_print - start % cfg.interval_print,
@@ -121,7 +122,17 @@ def run(argv=None) -> dict:
                 next_save = ((start // cfg.interval_save_model) + 1) * cfg.interval_save_model
                 n = min(n, next_save - start)
                 t0 = time.perf_counter()
-                losses, psnrs = trainer.train_many(n)
+                # PROFILE_DIR: capture the device timeline of exactly one
+                # post-warmup compiled chunk (chunk 0 pays the compile)
+                if cfg.profile_dir and chunk_idx == 1:
+                    from nic.obs.trace import profile_trace
+
+                    with profile_trace(cfg.profile_dir):
+                        losses, psnrs = trainer.train_many(n)
+                    log(f"jax.profiler trace ({n} steps) → {cfg.profile_dir}")
+                else:
+                    losses, psnrs = trainer.train_many(n)
+                chunk_idx += 1
                 elapsed = (time.perf_counter() - t0) / n
                 for i in range(n):
                     step = start + i + 1

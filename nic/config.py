@@ -84,6 +84,10 @@ class CompressionConfig:
     div_size: int = 10               # tiled-decode granularity (decode_image div_size,
                                      # image_compression.py:307-346): tiles/axis =
                                      # 2^max(max_mip - mip - div_size, 0)
+    profile_dir: str = ""            # non-empty → capture a jax.profiler trace
+                                     # (nic.obs.trace.profile_trace) of one compiled
+                                     # training chunk (the second interval, post-warmup)
+                                     # into this TensorBoard logdir
 
     # ---- derived (var2.py:99-125 semantics) ----
 
@@ -204,6 +208,7 @@ _CLI_KEYS: dict[str, str] = {
     "DIV_SIZE": "div_size",
     "TRAIN_FORWARD": "train_forward",
     "QAT_NOISE_WHERE": "qat_noise_where",
+    "PROFILE_DIR": "profile_dir",
 }
 
 
