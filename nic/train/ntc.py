@@ -321,10 +321,17 @@ class NTCTrainer:
                 upd_mlp, opt_mlp = tx_mlp.update(g_mlp, opt_mlp, mlp)
                 mlp = optax.apply_updates(mlp, upd_mlp)
                 fp = fp_lib.pyramid_clamp(fp, fl, cfg.fp_bits)
-            step_psnr = psnr(
-                quantize_to_bit(out, cfg.output_bits),
-                quantize_to_bit(tgt, cfg.output_bits),
-            )
+            if cfg.tf_write_psnr:
+                # per-step PSNR of the quantized crop batch — the reference
+                # computes this only under TF_WRITE_PSNR
+                # (image_compression.py:259-261); skipping it saves a full
+                # quantize+reduce over every trained pixel each step
+                step_psnr = psnr(
+                    quantize_to_bit(out, cfg.output_bits),
+                    quantize_to_bit(tgt, cfg.output_bits),
+                )
+            else:
+                step_psnr = jnp.float32(jnp.nan)
             return fp, mlp, opt_fp, opt_mlp, loss, step_psnr
 
         return jax.jit(train_step, donate_argnums=(0, 1, 2, 3)) if jit else train_step

@@ -124,6 +124,55 @@ def build_components(cfg, images):
         return s + loss + jnp.sum(gfp[fl * 2]) * 1e-9 + jnp.sum(
             gmlp["w1"]) * 1e-9
     comps["fwd_bwd"] = chain(bwd_body)
+
+    # ---- round-3 stage-2 components: where does the bwd/update go? ----
+    comps["targets_build"] = chain(
+        lambda i, s: s + jnp.sum(targets(
+            (origins0 + jnp.int32(s * 1e-30)) % (data_size - n + 1))) * 1e-9)
+
+    mlp_grad = jax.grad(
+        lambda m, x: jnp.mean(apply_mlp(m, x, matmul_dtype=matmul_dtype)
+                              ** 2), argnums=(0, 1))
+
+    def mlp_bwd_body(i, s):
+        gm, gx = mlp_grad(mlp, x0 + s * 1e-30)
+        return s + jnp.sum(gm["w1"]) * 1e-9 + jnp.sum(gx) * 1e-9
+    comps["mlp_fwd_bwd"] = chain(mlp_bwd_body)
+
+    gather_grad = jax.grad(
+        lambda f: jnp.mean(features(f, origins0) ** 2))
+
+    def gather_bwd_body(i, s):
+        gf = gather_grad((fp[0] + s * 1e-30,) + tuple(fp[1:]))
+        return s + jnp.sum(gf[fl * 2]) * 1e-9
+    comps["gather_fwd_bwd"] = chain(gather_bwd_body)
+
+    from nic.core.metrics import psnr as psnr_fn
+    from nic.core.quant import quantize_to_bit
+    out0 = jax.jit(lambda: apply_mlp(mlp, x0, matmul_dtype=matmul_dtype))()
+    tgt0 = jax.jit(lambda: targets(origins0))()
+    comps["psnr_step"] = chain(
+        lambda i, s: s + psnr_fn(
+            quantize_to_bit(out0 + s * 1e-30, 8),
+            quantize_to_bit(tgt0, 8)) * 1e-9)
+
+    # Adam+clamp cost: same update math as the real step, applied to a
+    # fixed opt state (state reuse is fine for timing — identical compute)
+    loss0, (gfp0, gmlp0) = jax.jit(
+        lambda: grad_fn(fp, mlp, origins0, key0))()
+    opt_fp0, opt_mlp0 = tr.state.opt_fp, tr.state.opt_mlp
+    import optax
+    from nic.grids import pyramid as fp_lib
+
+    def adam_body(i, s):
+        gfp = tuple(g + s * 1e-30 for g in gfp0)
+        upd_fp, _ = tr._tx_fp.update(gfp, opt_fp0, fp)
+        fp2 = optax.apply_updates(fp, upd_fp)
+        upd_mlp, _ = tr._tx_mlp.update(gmlp0, opt_mlp0, mlp)
+        mlp2 = optax.apply_updates(mlp, upd_mlp)
+        fp2 = fp_lib.pyramid_clamp(fp2, fl, cfg.fp_bits)
+        return s + jnp.sum(fp2[fl * 2]) * 1e-9 + jnp.sum(mlp2["w1"]) * 1e-9
+    comps["adam_clamp"] = chain(adam_body)
     return comps
 
 
@@ -143,6 +192,9 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="64² / 2-crop shapes (CPU smoke test)")
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--stage2", action="store_true",
+                    help="only the round-3 stage-2 additions (bwd-side "
+                         "components + gather_node variant stack)")
     args = ap.parse_args()
 
     from nic.cli.image_compression import load_asset
@@ -154,14 +206,22 @@ def main() -> None:
     images = load_asset(base)
     out = {"pixels_per_step": base.num_crops * base.crop_size**2}
 
+    STAGE2_COMPS = ("targets_build", "mlp_fwd_bwd", "gather_fwd_bwd",
+                    "psnr_step", "adam_clamp")
+
     # ---- component ablation (fp32 and surgical-bf16 reference shape) ----
-    for tag, dtype_bits in (("fp32", 32), ("bf16", 16)):
+    dtypes = (("bf16", 16),) if args.stage2 else (("fp32", 32), ("bf16", 16))
+    for tag, dtype_bits in dtypes:
         cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=dtype_bits, **shape_kw)
         comps = build_components(cfg, images)
         kb, ks = (8, 2) if args.quick else (24, 2)
         for name, make in comps.items():
+            if args.stage2 and name not in STAGE2_COMPS:
+                continue
             t = slope_time(make, kbig=kb, ksmall=ks)
             out[f"{tag}_{name}_ms"] = round(t * 1e3, 3)
+            print(f"{tag}_{name}: {out[f'{tag}_{name}_ms']} ms",
+                  file=sys.stderr)
 
     # ---- full-step rates across the round-3 variants ----
     n = 500 if args.quick else args.steps
@@ -187,8 +247,22 @@ def main() -> None:
                                           train_forward="folded",
                                           qat_noise_where="node",
                                           num_crops=16)),
+        # round-3 stage 2: the on-chip winner was gather+node (folded
+        # regressed on TPU); stack the remaining levers on top of it
+        ("bf16_gather_node_rbg", dict(mlp_num_dtype=16,
+                                      qat_noise_where="node",
+                                      rng_impl="rbg")),
+        ("bf16_gather_node_nopsnr", dict(mlp_num_dtype=16,
+                                         qat_noise_where="node",
+                                         tf_write_psnr=False)),
+        ("bf16_gather_node_rbg_nopsnr", dict(mlp_num_dtype=16,
+                                             qat_noise_where="node",
+                                             rng_impl="rbg",
+                                             tf_write_psnr=False)),
     ]
     for tag, kw in variants:
+        if args.stage2 and "gather_node_" not in tag:
+            continue
         # variant kwargs win over the shape preset (--tiny pins num_crops;
         # the crops16 scaling variants override it)
         cfg = CompressionConfig(**{"num_epochs": 10**6, **shape_kw, **kw})
