@@ -25,6 +25,7 @@ from nic.core.metrics import psnr, average_psnr
 from nic.core.quant import quantize_to_bit
 from nic.data import assets
 from nic.io.artifacts import load_compressed, save_compressed
+from nic.obs.integrity import verified_result
 from nic.obs.log import RunLog, ScalarWriter, log_safe_statistics, make_filename_by_seq
 
 
@@ -144,7 +145,10 @@ def run(argv=None) -> dict:
                 step = trainer.state.step
                 if step % cfg.interval_print == 0:
                     if cfg.tf_print_psnr:
-                        rec = trainer.decode(0)
+                        # SDC-guarded full decode (see the end-of-run loop)
+                        rec = verified_result(
+                            lambda: np.asarray(trainer.decode(0)), warn=log
+                        )
                         tgt = np.moveaxis(np.asarray(images[0]), 0, -1)
                         full_psnr = float(
                             psnr(
@@ -206,7 +210,15 @@ def run(argv=None) -> dict:
     reconstructed = []
     for mip in range(cfg.effective_max_mip_level + 1):
         with log.span("decode time"):
-            rec = np.asarray(trainer.decode(mip))
+            # SDC guard (nic.obs.integrity): the axon-tunneled chip has
+            # produced intermittently-corrupted decode results (~1 LSB RMS
+            # extra error — every round-1/2 end-of-run PSNR was biased low
+            # by this; BASELINE.md round-3 correction). Two independent
+            # decode executions must agree bit-for-bit before the result
+            # is exported or scored.
+            rec = verified_result(
+                lambda m=mip: np.asarray(trainer.decode(m)), warn=log
+            )
         rec_codes = np.asarray(quantize_to_bit(rec, cfg.output_bits)).astype(np.uint8)
         reconstructed.append(rec_codes)
         if cfg.image_dimension == 2:

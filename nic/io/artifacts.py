@@ -93,8 +93,13 @@ def save_compressed(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays: dict = {}
     shapes = []
+    from nic.obs.integrity import verified_result
+
     for i, g in enumerate(pyramid):
-        codes = np.asarray(pack_grid(g, fp_bits))
+        # SDC-guarded fetch: the artifact is the product — a corrupted
+        # device→host transfer here would silently poison it
+        # (nic/obs/integrity.py; axon-tunnel finding, NOTES_r3.md)
+        codes = verified_result(lambda g=g: np.asarray(pack_grid(g, fp_bits)))
         shapes.append(list(codes.shape))
         if entropy_coded:
             from nic.io.entropy import quantize_pmf
