@@ -76,6 +76,9 @@ class CompressionConfig:
     train_forward: str = "gather"    # "gather" (reference-shaped [N,F] feature build)
                                      # | "folded" (first MLP layer folded into the
                                      # grids at node resolution, fastdecode algebra)
+                                     # | "kernel" (gather features + one fused Pallas
+                                     # fwd+loss+bwd kernel, nic.kernels.train_fused;
+                                     # TPU, single-device)
     qat_noise_where: str = "feature"  # "feature" (parity: iid noise on every decoder
                                      # input channel, image_compression.py:248-254) |
                                      # "node" (noise the active grids' nodes — models

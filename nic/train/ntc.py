@@ -191,6 +191,17 @@ class NTCTrainer:
 
         mesh = self.mesh
         use_folded = cfg.train_forward == "folded"
+        # TRAIN_FORWARD=kernel: the gather-built [N, F] features feed one
+        # fused Pallas kernel computing fwd+loss+bwd in a single pass
+        # (nic.kernels.train_fused). Single-device only: under a mesh the
+        # [N, F] matrix is sharded and the XLA SPMD path handles it.
+        use_kernel = cfg.train_forward == "kernel" and mesh is None
+        kernel_rows = None
+        if use_kernel:
+            from nic.kernels.train_fused import pick_block_rows
+
+            kernel_rows = pick_block_rows(num_crops * n**ndim)
+            use_kernel = kernel_rows is not None
         noise_node = cfg.qat_noise_where == "node"
         mip_to_level = self.mip_to_level
 
@@ -212,12 +223,14 @@ class NTCTrainer:
             )
             return tuple(fp)
 
-        def batch_forward(fp, mlp, origins, noise_key):
+        def gather_features(fp, origins, noise_key):
+            """The reference-shaped [N, F] decoder-input build (grid
+            gather/interp + PE + QAT noise), shared by the XLA forward and
+            the fused-kernel loss path."""
             fp = tuple(g.astype(dtype) for g in fp)
             if not frozen and noise_node:
                 fp = noised_grids(fp, noise_key)
-            if use_folded:
-                return folded_forward(fp, mlp, origins, noise_key)
+
             def one(origin):
                 return decoder_input(
                     fp, fl, origin, step, n,
@@ -238,6 +251,15 @@ class NTCTrainer:
                 x = x.astype(jnp.float32) + qat_noise(
                     noise_key, x.shape, cfg.fp_bits, jnp.float32
                 )
+            return x
+
+        def batch_forward(fp, mlp, origins, noise_key):
+            if use_folded:
+                fpc = tuple(g.astype(dtype) for g in fp)
+                if not frozen and noise_node:
+                    fpc = noised_grids(fpc, noise_key)
+                return folded_forward(fpc, mlp, origins, noise_key)
+            x = gather_features(fp, origins, noise_key)
             return apply_mlp(mlp, x, matmul_dtype=matmul_dtype)
 
         def folded_forward(fp, mlp, origins, noise_key):
@@ -295,6 +317,15 @@ class NTCTrainer:
             return t.reshape(-1, 3)
 
         def loss_fn(fp, mlp, origins, noise_key):
+            if use_kernel:
+                from nic.kernels.train_fused import fused_mlp_loss
+
+                x = gather_features(fp, origins, noise_key)
+                tgt = targets_of(origins)
+                loss, out = fused_mlp_loss(
+                    mlp, x.astype(jnp.float32), tgt, matmul_dtype
+                )
+                return loss, (out, tgt)
             out = batch_forward(fp, mlp, origins, noise_key)
             tgt = targets_of(origins)
             return jnp.mean((out - tgt) ** 2), (out, tgt)
