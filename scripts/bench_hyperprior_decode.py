@@ -107,6 +107,36 @@ def main() -> None:
                  np.asarray(codec._g_s(jnp.asarray(y_hat, np.float32)))),
         args.iters)
 
+    # device-only transform time (fori_loop slope, the bench.py
+    # methodology): separates actual conv compute from the tunnel's
+    # per-call H2D/D2H staging, which the wall numbers above include
+    import jax
+
+    m, p = trainer.model, trainer.params
+    zj = jnp.asarray(z_hat, np.float32)
+    yj = jnp.asarray(y_hat, np.float32)
+
+    def slope(fn, arg, kbig=24, ksmall=2, reps=5):
+        def make(k):
+            @jax.jit
+            def run(a):
+                def body(i, s):
+                    out = fn(a + s * 1e-30)
+                    return jnp.sum(out.astype(jnp.float32)) * 1e-9
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            float(run(arg))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(arg))
+                ts.append(time.perf_counter() - t0)
+            return float(np.min(ts))
+        t1, tk = make(ksmall), make(kbig)
+        return (tk - t1) / (kbig - ksmall)
+
+    t_hs_dev = slope(lambda z: m.apply(p, z, method=m.hyper_synthesis), zj)
+    t_gs_dev = slope(lambda y: m.apply(p, y, method=m.synthesis), yj)
+
     print(json.dumps({
         "ckpt": ckpt, "image": args.image, "pixels": px,
         "psnr_roundtrip": round(psnr, 4),
@@ -115,6 +145,9 @@ def main() -> None:
         "decode_mpix_s": round(px / t_e2e / 1e6, 3),
         "rans_ms": round(t_rans * 1e3, 3),
         "transforms_ms": round(t_xform * 1e3, 3),
+        "hyper_synthesis_device_ms": round(t_hs_dev * 1e3, 3),
+        "synthesis_device_ms": round(t_gs_dev * 1e3, 3),
+        "device_mpix_s": round(px / (t_hs_dev + t_gs_dev) / 1e6, 3),
         "iters": args.iters,
     }))
 

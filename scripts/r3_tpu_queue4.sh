@@ -74,3 +74,8 @@ timeout 1800 python -m nic.cli.image_compression NUM_EPOCHS=20000 \
     MLP_NUM_DTYPE=16 INTERVAL_PRINT=5000 >> "$LOG" 2>&1
 
 echo "=== r3 queue4 done $(date) ===" >> "$LOG"
+
+echo "--- [4/4] hyperprior decode: device-only transform slope ---" >> "$LOG"
+timeout 1800 python scripts/bench_hyperprior_decode.py >> "$LOG" 2>&1
+
+echo "=== r3 queue4 (with [4/4]) done $(date) ===" >> "$LOG"
