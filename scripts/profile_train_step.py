@@ -259,6 +259,14 @@ def main() -> None:
                                              qat_noise_where="node",
                                              rng_impl="rbg",
                                              tf_write_psnr=False)),
+        # round-3 stage 3: the fused Pallas train kernel
+        # (nic.kernels.train_fused) replacing the XLA MLP fwd+loss+bwd
+        ("bf16_kernel_node_rbg", dict(mlp_num_dtype=16,
+                                      train_forward="kernel",
+                                      qat_noise_where="node",
+                                      rng_impl="rbg")),
+        ("bf16_kernel_feature", dict(mlp_num_dtype=16,
+                                     train_forward="kernel")),
     ]
     for tag, kw in variants:
         if args.stage2 and "gather_node_" not in tag:
