@@ -158,6 +158,13 @@ def run(argv=None):
         t0 = time.perf_counter()
         out = jax.block_until_ready(decode(fp, mlp))
         dt = time.perf_counter() - t0
+        # SDC guard (nic.obs.integrity): the decoded image is the
+        # product; require two bit-identical executions (round-3
+        # axon-tunnel finding, NOTES_r3.md)
+        from nic.obs.integrity import verified_result
+
+        out = verified_result(lambda: np.asarray(decode(fp, mlp)),
+                              warn=print)
     rec = np.clip(np.asarray(out, np.float32), 0, 1)
     npix = rec.size // 3
     # NOTE: wall time of one dispatch; through the axon tunnel this is a

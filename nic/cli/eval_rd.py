@@ -76,7 +76,11 @@ def eval_ntc(paths: list[str], cfg, log, chunk: int = 2000) -> dict:
         trainer = NTCTrainer(cfg, [img])
         trainer.train_many(cfg.num_epochs, chunk=chunk)
         trainer.freeze_and_quantize()
-        rec = np.asarray(trainer.decode(0))
+        # SDC-guarded (nic.obs.integrity): two bit-identical executions
+        # behind every reported eval number (round-3 tunnel finding)
+        from nic.obs.integrity import verified_result
+
+        rec = verified_result(lambda: np.asarray(trainer.decode(0)), warn=log)
         rec_codes = np.asarray(quantize_to_bit(rec, cfg.output_bits))
         tgt = np.asarray(
             quantize_to_bit(img.transpose(1, 2, 0), cfg.output_bits)

@@ -61,6 +61,12 @@ def verified_fetch(x, retries: int = 3, warn: Callable | None = None):
     )
 
 
+def _leaves(out):
+    if isinstance(out, (tuple, list)):
+        return [np.asarray(o) for o in out]
+    return [np.asarray(out)]
+
+
 def verified_result(
     fn: Callable[[], np.ndarray],
     retries: int = 3,
@@ -68,28 +74,36 @@ def verified_result(
 ):
     """Run a device evaluation twice and confirm the (host) result.
 
-    ``fn`` must return a numpy array (or scalar) and be deterministic —
-    XLA executions of the same program on the same data are
-    bit-deterministic, so any disagreement between two independent runs
-    is corruption (in execution, upload, or fetch), not noise. Returns
-    the first value reproduced twice; retries on disagreement; raises
-    after ``retries`` consecutive mismatches.
+    ``fn`` must return a numpy array/scalar — or a tuple/list of them —
+    and be deterministic: XLA executions of the same program on the same
+    data are bit-deterministic, so any disagreement between two
+    independent runs is corruption (in execution, upload, or fetch), not
+    noise. Returns the first value reproduced twice (arrays converted to
+    numpy, container structure preserved); retries on disagreement;
+    raises after ``retries`` consecutive mismatches.
     """
-    prev = np.asarray(fn())
+    prev = _leaves(fn())
     for attempt in range(retries):
-        cur = np.asarray(fn())
-        if prev.shape == cur.shape and np.array_equal(
-            prev, cur, equal_nan=True
+        out = fn()
+        cur = _leaves(out)
+        if len(prev) == len(cur) and all(
+            a.shape == b.shape and np.array_equal(a, b, equal_nan=True)
+            for a, b in zip(prev, cur)
         ):
-            return cur
+            if isinstance(out, (tuple, list)):
+                return type(out)(cur)
+            return cur[0]
         if warn is not None:
-            d = np.max(
-                np.abs(prev.astype(np.float64) - cur.astype(np.float64))
-            ) if prev.shape == cur.shape else float("nan")
+            ds = [
+                float(np.max(np.abs(a.astype(np.float64)
+                                    - b.astype(np.float64))))
+                if a.shape == b.shape else float("nan")
+                for a, b in zip(prev, cur)
+            ]
             warn(
                 f"verified_result: run-to-run mismatch (attempt "
-                f"{attempt + 1}/{retries}, max|diff|={d}) — silent data "
-                "corruption suspected; retrying"
+                f"{attempt + 1}/{retries}, max|diff|={max(ds) if ds else 'shape'}) "
+                "— silent data corruption suspected; retrying"
             )
         prev = cur
     raise RuntimeError(

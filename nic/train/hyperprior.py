@@ -200,7 +200,12 @@ class HyperpriorTrainer:
         ph = (-h) % 64
         pw = (-w) % 64
         x = np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")[None]
-        x_hat, y_bits, z_bits = self._jit_eval(self.params, jnp.asarray(x))
+        # SDC-guarded eval (nic.obs.integrity; round-3 tunnel finding)
+        from nic.obs.integrity import verified_result
+
+        x_hat, y_bits, z_bits = verified_result(
+            lambda: tuple(self._jit_eval(self.params, jnp.asarray(x)))
+        )
         x_hat = np.clip(np.asarray(x_hat)[0, :h, :w], 0, 1)
         mse = float(np.mean((x_hat - image) ** 2))
         psnr = 10 * np.log10(1.0 / max(mse, 1e-12))

@@ -50,3 +50,17 @@ def test_verified_result_raises_on_persistent_corruption():
 def test_verified_result_nan_stable():
     out = verified_result(lambda: np.array([np.nan, 1.0]))
     assert np.isnan(out[0]) and out[1] == 1.0
+
+
+def test_verified_result_tuple_output():
+    a, b = verified_result(lambda: (np.ones(3), np.zeros((2, 2))))
+    np.testing.assert_array_equal(a, np.ones(3))
+    np.testing.assert_array_equal(b, np.zeros((2, 2)))
+
+    vals = [(np.zeros(2), np.ones(2)), (np.ones(2), np.ones(2)),
+            (np.ones(2), np.ones(2))]
+    warns = []
+    a, b = verified_result(lambda: vals.pop(0),
+                           warn=lambda m: warns.append(m))
+    np.testing.assert_array_equal(a, np.ones(2))
+    assert len(warns) == 1
