@@ -69,6 +69,31 @@ def test_pick_block_rows():
     assert pick_block_rows(1000) == 8
 
 
+def test_trainer_kernel_mode_falls_back_under_mesh():
+    """TRAIN_FORWARD=kernel is single-device; under a mesh the trainer
+    must silently take the XLA SPMD path (identical losses to gather)."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.parallel.mesh import make_mesh
+    from nic.train.ntc import NTCTrainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    cfg = lambda fwd: CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+        image_path="data/sancho_512.png", train_forward=fwd,
+    )
+    img = load_asset(cfg("gather"))
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_k = NTCTrainer(cfg("kernel"), img, mesh=mesh)
+        losses_k, _ = tr_k.train_many(3, chunk=3)
+        tr_g = NTCTrainer(cfg("gather"), img, mesh=mesh)
+        losses_g, _ = tr_g.train_many(3, chunk=3)
+    np.testing.assert_allclose(np.asarray(losses_k), np.asarray(losses_g),
+                               rtol=1e-6)
+
+
 def test_trainer_kernel_forward_matches_gather():
     """NTCTrainer(TRAIN_FORWARD=kernel): the scan losses must track the
     gather path step for step (identical bf16 fwd; grads differ only in
