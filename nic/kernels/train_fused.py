@@ -33,7 +33,12 @@ Layout rules learned from the decode kernels, applied here:
   arrive and predictions leave PLANAR [3, N] in (3, R) blocks (an
   [R, 3] window is R strided 12-byte rows — the same pathology the
   planar decode output avoids), so the third layer runs transposed:
-  z3ᵀ = W3ᵀ·h2ᵀ via one dot_general, and dW3/db3 come out [3, H]/[3, 1].
+  z3ᵀ = W3ᵀ·h2ᵀ via one dot_general, and dW3/db3 come out [3, H]/[3];
+- window COUNT per grid step is itself a cost (each advancing window is
+  a DMA per step): all six weight/bias operands ride ONE packed f32
+  tile [rows_in, H] with 8-aligned section offsets, and all six weight
+  grads + the loss partial ride ONE packed output tile — 3 input + 3
+  output windows per step in total.
 
 ``gelu="erf"`` matches the XLA erf GELU bit-for-bit-close (A&S 7.1.26,
 |Δerf| ≤ 1.5e-7 — Mosaic has no erf lowering); ``gelu="poly"`` swaps
@@ -105,52 +110,79 @@ def pick_block_rows(n_rows: int, max_r: int = 2048) -> int | None:
     return None
 
 
-def _kernel(x_ref, tgt_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-            loss_ref, out_ref, dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-            dw3_ref, db3_ref, *, cd, inv_total: float, gelu: str):
+def _pad8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def _layout(feat: int, hidden: int, oc: int) -> dict:
+    """Row offsets of the packed weight/grad tiles (8-aligned sections
+    so every in-kernel sublane slice starts on a tile boundary)."""
+    o = {}
+    o["w1"] = 0
+    o["b1"] = _pad8(feat)
+    o["w2"] = o["b1"] + 8
+    o["b2"] = o["w2"] + _pad8(hidden)
+    o["w3t"] = o["b2"] + 8
+    o["b3"] = o["w3t"] + 8          # W3ᵀ has oc ≤ 8 rows
+    o["loss"] = o["b3"] + 8
+    o["rows_in"] = o["loss"]        # input tile carries no loss row
+    o["rows_out"] = o["loss"] + 8
+    return o
+
+
+def _kernel(x_ref, tgt_ref, pk_ref, out_ref, dx_ref, gk_ref, *, cd,
+            inv_total: float, gelu: str, feat: int, hidden: int, oc: int,
+            lay: tuple):
     f32 = jnp.float32
+    (o_w1, o_b1, o_w2, o_b2, o_w3t, o_b3, o_loss) = lay
     x = x_ref[:, :]                    # [R, F] f32
     xb = x.astype(cd)
-    w1, w2, w3 = w1_ref[0], w2_ref[0], w3_ref[0]   # cd; w3 is [H, OC]
+    pk = pk_ref[0]                     # [rows_in, H] f32 packed params
+    w1 = pk[o_w1:o_w1 + feat, :].astype(cd)
+    b1 = pk[o_b1:o_b1 + 1, :]
+    w2 = pk[o_w2:o_w2 + hidden, :].astype(cd)
+    b2 = pk[o_b2:o_b2 + 1, :]
+    w3t = pk[o_w3t:o_w3t + oc, :].astype(cd)   # [OC, H]
+    b3col = pk[o_b3:o_b3 + oc, 0:1]            # [OC, 1]
 
     # ---- forward (fp32 accumulation, fp32 elementwise) ----
-    z1 = jnp.dot(xb, w1, preferred_element_type=f32) + b1_ref[0]
+    z1 = jnp.dot(xb, w1, preferred_element_type=f32) + b1
     h1, aux1 = _gelu_fwd(z1, gelu)
     h1b = h1.astype(cd)
-    z2 = jnp.dot(h1b, w2, preferred_element_type=f32) + b2_ref[0]
+    z2 = jnp.dot(h1b, w2, preferred_element_type=f32) + b2
     h2, aux2 = _gelu_fwd(z2, gelu)
     h2b = h2.astype(cd)
-    # third layer planar: z3ᵀ [OC, R] = W3 contracted on H with h2ᵀ
+    # third layer planar: z3ᵀ [OC, R] = W3ᵀ contracted on H with h2ᵀ
     z3t = jax.lax.dot_general(
-        w3, h2b, (((0,), (1,)), ((), ())), preferred_element_type=f32
-    ) + b3_ref[0]
+        w3t, h2b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) + b3col
     out = jax.nn.sigmoid(z3t)          # [OC, R] planar
     diff = out - tgt_ref[:, :]
     out_ref[:, :] = out
-    # per-block partial of mean((out-tgt)²), broadcast over the lane dim
-    loss_ref[0, 0, :] = jnp.full((loss_ref.shape[2],),
-                                 jnp.sum(diff * diff) * inv_total, f32)
+    # per-block partial of mean((out-tgt)²) rides the grad tile
+    gk_ref[0, o_loss:o_loss + 1, :] = jnp.full(
+        (1, hidden), jnp.sum(diff * diff) * inv_total, f32)
 
     # ---- backward (seeded by d(mean sq)/d out = 2·diff/total) ----
     dz3t = (2.0 * inv_total) * diff * out * (1.0 - out)     # [OC, R] f32
     dz3b = dz3t.astype(cd)
-    dw3_ref[0] = jax.lax.dot_general(   # [OC, H] = dW3ᵀ
+    gk_ref[0, o_w3t:o_w3t + oc, :] = jax.lax.dot_general(   # dW3ᵀ [OC, H]
         dz3b, h2b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-    db3_ref[0] = jnp.sum(dz3t, axis=1, keepdims=True)       # [OC, 1]
+    gk_ref[0, o_b3:o_b3 + oc, 0:1] = jnp.sum(dz3t, axis=1, keepdims=True)
     dh2 = jax.lax.dot_general(          # [R, H]
-        dz3b, w3, (((0,), (1,)), ((), ())), preferred_element_type=f32)
+        dz3b, w3t, (((0,), (0,)), ((), ())), preferred_element_type=f32)
     dz2 = dh2 * _gelu_bwd(z2, aux2, gelu)
     dz2b = dz2.astype(cd)
-    dw2_ref[0] = jax.lax.dot_general(
+    gk_ref[0, o_w2:o_w2 + hidden, :] = jax.lax.dot_general(
         h1b, dz2b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    db2_ref[0] = jnp.sum(dz2, axis=0, keepdims=True)
+    gk_ref[0, o_b2:o_b2 + 1, :] = jnp.sum(dz2, axis=0, keepdims=True)
     dh1 = jax.lax.dot_general(
         dz2b, w2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
     dz1 = dh1 * _gelu_bwd(z1, aux1, gelu)
     dz1b = dz1.astype(cd)
-    dw1_ref[0] = jax.lax.dot_general(
+    gk_ref[0, o_w1:o_w1 + feat, :] = jax.lax.dot_general(
         xb, dz1b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    db1_ref[0] = jnp.sum(dz1, axis=0, keepdims=True)
+    gk_ref[0, o_b1:o_b1 + 1, :] = jnp.sum(dz1, axis=0, keepdims=True)
     dx_ref[:, :] = jax.lax.dot_general(
         dz1b, w1, (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
@@ -161,74 +193,70 @@ def _impl(x, tgt, w1, b1, w2, b2, w3, b3, *, R: int, matmul_dtype,
     n, feat = x.shape
     hidden = w1.shape[1]
     oc = w3.shape[1]
+    assert oc <= 8 and oc <= hidden
     steps = n // R
     cd = matmul_dtype or jnp.float32
     f32 = jnp.float32
+    lay = _layout(feat, hidden, oc)
 
     tgt_t = tgt.T                       # [OC, N] planar (one small transpose)
-    tile = lambda a: jnp.tile(a[None], (steps, 1, 1))
-    w1t = tile(w1.astype(cd))
-    w2t = tile(w2.astype(cd))
-    w3t = tile(w3.astype(cd))
-    b1t = tile(b1.astype(f32).reshape(1, hidden))
-    b2t = tile(b2.astype(f32).reshape(1, hidden))
-    b3t = tile(b3.astype(f32).reshape(oc, 1))
+    # one packed f32 parameter tile per grid step (weights cast to the
+    # matmul dtype in-kernel; biases read f32 — baseline semantics)
+    pk = jnp.zeros((lay["rows_in"], hidden), f32)
+    pk = pk.at[lay["w1"]:lay["w1"] + feat].set(w1.astype(f32))
+    pk = pk.at[lay["b1"]].set(b1.astype(f32))
+    pk = pk.at[lay["w2"]:lay["w2"] + hidden].set(w2.astype(f32))
+    pk = pk.at[lay["b2"]].set(b2.astype(f32))
+    pk = pk.at[lay["w3t"]:lay["w3t"] + oc].set(w3.astype(f32).T)
+    pk = pk.at[lay["b3"]:lay["b3"] + oc].set(
+        jnp.broadcast_to(b3.astype(f32)[:, None], (oc, hidden)))
+    pkt = jnp.tile(pk[None], (steps, 1, 1))
 
-    kernel = functools.partial(_kernel, cd=cd, inv_total=1.0 / (n * oc),
-                               gelu=gelu)
-    row = lambda: pl.BlockSpec((R, feat), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)
-    planar = lambda: pl.BlockSpec((oc, R), lambda i: (0, i),
-                                  memory_space=pltpu.VMEM)
-    per_step = lambda a, b: pl.BlockSpec((1, a, b), lambda i: (i, 0, 0),
-                                         memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    kernel = functools.partial(
+        _kernel, cd=cd, inv_total=1.0 / (n * oc), gelu=gelu, feat=feat,
+        hidden=hidden, oc=oc,
+        lay=(lay["w1"], lay["b1"], lay["w2"], lay["b2"], lay["w3t"],
+             lay["b3"], lay["loss"]),
+    )
+    out_t, dx, gk = pl.pallas_call(
         kernel,
         grid=(steps,),
         in_specs=[
-            row(),                       # x
-            planar(),                    # tgtᵀ
-            per_step(feat, hidden),      # W1 tile
-            per_step(1, hidden),         # b1
-            per_step(hidden, hidden),    # W2
-            per_step(1, hidden),         # b2
-            per_step(hidden, oc),        # W3
-            per_step(oc, 1),             # b3 (planar column)
+            pl.BlockSpec((R, feat), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # x
+            pl.BlockSpec((oc, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),              # tgtᵀ
+            pl.BlockSpec((1, lay["rows_in"], hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # packed params
         ],
         out_specs=[
-            per_step(1, 128),            # loss partials
-            planar(),                    # outᵀ
-            row(),                       # dx
-            per_step(feat, hidden),      # dW1 partials
-            per_step(1, hidden),         # db1 partials
-            per_step(hidden, hidden),    # dW2
-            per_step(1, hidden),         # db2
-            per_step(oc, hidden),        # dW3ᵀ
-            per_step(oc, 1),             # db3
+            pl.BlockSpec((oc, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),              # outᵀ
+            pl.BlockSpec((R, feat), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),              # dx
+            pl.BlockSpec((1, lay["rows_out"], hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # packed grads
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((steps, 1, 128), f32),
             jax.ShapeDtypeStruct((oc, n), f32),
             jax.ShapeDtypeStruct((n, feat), f32),
-            jax.ShapeDtypeStruct((steps, feat, hidden), f32),
-            jax.ShapeDtypeStruct((steps, 1, hidden), f32),
-            jax.ShapeDtypeStruct((steps, hidden, hidden), f32),
-            jax.ShapeDtypeStruct((steps, 1, hidden), f32),
-            jax.ShapeDtypeStruct((steps, oc, hidden), f32),
-            jax.ShapeDtypeStruct((steps, oc, 1), f32),
+            jax.ShapeDtypeStruct((steps, lay["rows_out"], hidden), f32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * n * (feat * hidden + hidden * hidden + hidden * oc),
             bytes_accessed=(2 * n * feat + 2 * n * oc) * 4,
             transcendentals=0 if gelu == "poly" else 4 * n * hidden,
         ),
-    )(x, tgt_t, w1t, b1t, w2t, b2t, w3t, b3t)
-    (loss_p, out_t, dx, dw1_p, db1_p, dw2_p, db2_p, dw3t_p, db3_p) = outs
-    loss = jnp.sum(loss_p[:, 0, 0])
+    )(x, tgt_t, pkt)
+    g = jnp.sum(gk, axis=0)             # [rows_out, H] summed partials
+    loss = jnp.sum(gk[:, lay["loss"], 0])
     grads = {
-        "w1": jnp.sum(dw1_p, axis=0), "b1": jnp.sum(db1_p, axis=0)[0],
-        "w2": jnp.sum(dw2_p, axis=0), "b2": jnp.sum(db2_p, axis=0)[0],
-        "w3": jnp.sum(dw3t_p, axis=0).T, "b3": jnp.sum(db3_p, axis=0)[:, 0],
+        "w1": g[lay["w1"]:lay["w1"] + feat],
+        "b1": g[lay["b1"]],
+        "w2": g[lay["w2"]:lay["w2"] + hidden],
+        "b2": g[lay["b2"]],
+        "w3": g[lay["w3t"]:lay["w3t"] + oc].T,
+        "b3": g[lay["b3"]:lay["b3"] + oc, 0],
     }
     return loss, out_t.T, dx, grads
 
