@@ -35,14 +35,17 @@ image_compression.py:94-95/126-128/160-162:
 from __future__ import annotations
 
 import itertools
+import math
 
 import jax.numpy as jnp
+from jax import lax
 
 from nic.core.encodings import sinusoidal_pe, triangular_pe
 
 __all__ = [
     "axis_coords",
     "corner_features",
+    "corner_features_lattice",
     "interp_weights",
     "apply_g1_weights",
     "decoder_input",
@@ -107,6 +110,66 @@ def corner_features(grid, idxs, offsets):
     return {off: partial_takes[off] for off in offsets}
 
 
+def _axis_take_lattice(src, origin, step: float, n: int, off: int, axis: int):
+    """``take(src, floor((arange(n)+origin)·step) + off, axis)`` for an
+    integer (traced) ``origin`` and power-of-two static ``step``, as dense
+    slice/repeat layout ops.
+
+    Why: ``jnp.take`` with these repeating lattice indices differentiates
+    to a scatter-add, which dominates the train step's gather fwd+bwd
+    budget (2.81 ms of 7.6 — BASELINE.md round-3 profile). In this form
+    the VJP is dynamic_update_slice + reshape-sum (repeat's transpose) +
+    interior-pad (strided slice's transpose) — scatter-free and dense.
+
+    step < 1 callers must pre-pad ``src`` by one trailing node along
+    ``axis`` (the covering node window can overshoot the last used node
+    by one; a clamped dynamic_slice would otherwise SHIFT the window).
+    """
+    if step >= 1:
+        s = int(step)
+        span = (n - 1) * s + 1
+        start = [0] * src.ndim
+        start[axis] = jnp.asarray(origin, jnp.int32) * s + off
+        sl = lax.dynamic_slice_in_dim(src, start[axis], span, axis)
+        if s == 1:
+            return sl
+        idx = [slice(None)] * src.ndim
+        idx[axis] = slice(0, span, s)
+        return sl[tuple(idx)]
+    f = int(round(1.0 / step))
+    m = (n - 1) // f + 2  # covering node count for ANY phase
+    node_lo = jnp.asarray(origin, jnp.int32) // f
+    phase = jnp.asarray(origin, jnp.int32) - node_lo * f
+    sl = lax.dynamic_slice_in_dim(src, node_lo + off, m, axis)
+    rep = jnp.repeat(sl, f, axis=axis)  # length m·f ≥ phase + n
+    return lax.dynamic_slice_in_dim(rep, phase, n, axis)
+
+
+def corner_features_lattice(grid, origins, step: float, n: int, offsets):
+    """``corner_features`` specialized to the axis-aligned crop lattice
+    (coords ``(arange(n)+origin)·step`` with integer traced origins and a
+    power-of-two static step — pass ``step/2`` for the G1 grid): every
+    per-axis take becomes a dense slice/repeat (:func:`_axis_take_lattice`)
+    whose VJP is scatter-free. Bit-identical forward to the take path."""
+    offsets = [tuple(o) for o in offsets]
+    ndim = len(offsets[0])
+    # one edge-replicated node per axis: for step < 1 the covering node
+    # window may overshoot the last USED node by one (value never read);
+    # for step ≥ 1 it reproduces take's index-clipping for a +1 overshoot
+    # at the boundary. Valid crops never clip (see _axis_take_lattice).
+    pad = [(0, 0)] + [(0, 1)] * ndim
+    grid = jnp.pad(grid, pad, mode="edge")
+    partial = {(): grid}
+    for d in range(ndim):
+        nxt = {}
+        for key in sorted({off[: d + 1] for off in offsets}):
+            src = partial[key[:d]]
+            nxt[key] = _axis_take_lattice(src, origins[d], step, n, key[d],
+                                          1 + d)
+        partial = nxt
+    return {off: partial[off] for off in offsets}
+
+
 def interp_weights(fracs, offset):
     """Multilinear weight Π_k (frac_k if offset_k else 1-frac_k), broadcast
     over the lattice. fracs: per-axis [n_k] vectors; returns [n0, n1(, n2)]."""
@@ -159,6 +222,7 @@ def decoder_input(
     sparse_g0: bool = False,
     dtype=jnp.float32,
     g1_quirk: bool = True,
+    lattice: bool = True,
 ):
     """Assemble decoder-input rows for one n^ndim coordinate block.
 
@@ -188,14 +252,29 @@ def decoder_input(
         g0_offsets = EVEN_PARITY_CORNERS_3D
     else:
         g0_offsets = tuple(itertools.product((0, 1), repeat=ndim))
-    g0_corners = corner_features(g0_grid, i0s, g0_offsets)
+    g1_offsets = tuple(itertools.product((0, 1), repeat=ndim))
+
+    # crop lattice fast path: integer origins + power-of-two step — dense
+    # slice/repeat takes (scatter-free VJP); identical forward values
+    use_lattice = (
+        lattice
+        and math.log2(step) == int(math.log2(step))
+        and jnp.issubdtype(jnp.asarray(origin).dtype, jnp.integer)
+    )
+    if use_lattice:
+        g0_corners = corner_features_lattice(
+            g0_grid, origin, step, n, g0_offsets)
+        g1_corners = corner_features_lattice(
+            g1_grid, origin, step * 0.5, n, g1_offsets)
+    else:
+        g0_corners = corner_features(g0_grid, i0s, g0_offsets)
 
     # G1 at half resolution: gather + (quirk-gated) multilinear combine
     t1s = [t / 2.0 for t in ts]
     i1s = [jnp.floor(t1).astype(jnp.int32) for t1 in t1s]
     f1s = [t1 - i1.astype(dtype) for t1, i1 in zip(t1s, i1s)]
-    g1_offsets = tuple(itertools.product((0, 1), repeat=ndim))
-    g1_corners = corner_features(g1_grid, i1s, g1_offsets)
+    if not use_lattice:
+        g1_corners = corner_features(g1_grid, i1s, g1_offsets)
     g1_sum = apply_g1_weights(g1_corners, f1s, step, g1_quirk)  # [C, n0.. ]
 
     # PE over the continuous G1-resolution coordinates, flattened axis0-major

@@ -166,3 +166,43 @@ def test_g1_quirk_flag():
     assert np.abs(a[:, 4 * c : 5 * c] - b[:, 4 * c : 5 * c]).max() > 1e-3
     # G0 blocks identical
     np.testing.assert_allclose(a[:, : 4 * c], b[:, : 4 * c])
+
+
+@pytest.mark.parametrize("ndim,sparse,step,n,origin", [
+    (2, False, 2.0, 8, (1, 2)),
+    (2, False, 1.0, 16, (3, 5)),
+    (2, False, 0.25, 16, (2, 9)),
+    (2, False, 0.0625, 32, (11, 3)),
+    (3, False, 0.5, 8, (3, 1, 0)),
+    (3, True, 0.25, 8, (2, 5, 7)),
+])
+def test_lattice_path_bit_matches_take(ndim, sparse, step, n, origin):
+    """The scatter-free crop-lattice sampler (corner_features_lattice,
+    the default) must be BIT-identical to the take path in both forward
+    values and grid gradients (its VJP is dense slice/repeat transposes
+    instead of scatter-adds — the round-3 train-step optimization)."""
+    import jax
+    import jax.numpy as jnp
+    from nic.grids import sample
+
+    if ndim == 2:
+        fp_np = _mk_pyramid_2d(np.random.default_rng(5), 64, 4, 2)
+    else:
+        fp_np = _mk_pyramid_3d(np.random.default_rng(5), 16, 3, 2)
+    fp = tuple(jnp.asarray(g, jnp.float32) for g in fp_np)
+    o = jnp.asarray(origin, jnp.int32)
+    kw = dict(pe_channels=4, mip_level=0, ndim=ndim, sparse_g0=sparse,
+              use_tri_pe=not sparse)
+
+    a = sample.decoder_input(fp, 0, o, step, n, lattice=True, **kw)
+    b = sample.decoder_input(fp, 0, o, step, n, lattice=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def loss(fpp, lat):
+        x = sample.decoder_input(fpp, 0, o, step, n, lattice=lat, **kw)
+        return jnp.sum(x * x * 0.5)
+
+    ga = jax.grad(lambda f: loss(f, True))(fp)
+    gb = jax.grad(lambda f: loss(f, False))(fp)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
