@@ -79,3 +79,8 @@ echo "--- [4/4] hyperprior decode: device-only transform slope ---" >> "$LOG"
 timeout 1800 python scripts/bench_hyperprior_decode.py >> "$LOG" 2>&1
 
 echo "=== r3 queue4 (with [4/4]) done $(date) ===" >> "$LOG"
+
+echo "--- [5/5] stage-2 profile after lattice sampling (gather_fwd_bwd) ---" >> "$LOG"
+timeout 3600 python scripts/profile_train_step.py --stage2 >> "$LOG" 2>&1
+
+echo "=== r3 queue4 (full) done $(date) ===" >> "$LOG"
