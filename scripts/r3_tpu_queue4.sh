@@ -1,14 +1,38 @@
 #!/bin/sh
-# Round-3 chip queue #4: fused train kernel (packed rev) measurements.
-# (a) isolated micro-bench: packed kernel erf/poly at R=1024/2048 vs the
-#     2.70 ms XLA mlp+loss fwd+bwd baseline;
-# (b) trainer steps/s: TRAIN_FORWARD=kernel vs gather (node noise + rbg);
-# (c) if (b) wins: 20k quality A/B at full protocol (SDC-guarded decodes).
+# Round-3 chip queue #4 (priority-ordered — the tunnel died 20:05 and the
+# remaining chip window is unknown):
+# [1] trainer steps/s ladder: lattice sampling (new default) × TRAIN_FORWARD
+#     {gather,kernel} — answers VERDICT #4's ≥1.5× directly;
+# [2] packed train-kernel micro-bench (erf/poly × R) vs 2.70 ms XLA;
+# [3] 20k quality A/B at full protocol, SDC-guarded decodes;
+# [4] hyperprior decode: device-only transform slope;
+# [5] stage-2 component profile (gather_fwd_bwd after lattice);
+# [6] bench.py refresh.
 cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/r3_queue4.log
 echo "=== r3 queue4 start $(date) ===" >> "$LOG"
 
-echo "--- [1/3] packed-kernel micro-bench ---" >> "$LOG"
+echo "--- [1/6] trainer steps/s: lattice x {gather,kernel} ---" >> "$LOG"
+timeout 3000 python -u - <<'PYEOF' >> "$LOG" 2>&1
+import time
+from nic.config import CompressionConfig
+from nic.cli.image_compression import load_asset
+from nic.train.ntc import NTCTrainer
+for fwd, noise, rng in (("gather","node","rbg"), ("kernel","node","rbg"),
+                        ("gather","feature","threefry2x32"),
+                        ("kernel","feature","threefry2x32")):
+    cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=16,
+                            train_forward=fwd, qat_noise_where=noise,
+                            rng_impl=rng, tf_write_psnr=False)
+    tr = NTCTrainer(cfg, load_asset(cfg))
+    tr.train_many(1000, chunk=1000)
+    t0 = time.perf_counter()
+    tr.train_many(1000, chunk=1000)
+    print(f"{fwd}/{noise}/{rng}: {1000/(time.perf_counter()-t0):.2f} steps/s",
+          flush=True)
+PYEOF
+
+echo "--- [2/6] packed-kernel micro-bench ---" >> "$LOG"
 timeout 2400 python -u - <<'PYEOF' >> "$LOG" 2>&1
 import sys
 sys.path.insert(0, ".")
@@ -48,39 +72,20 @@ for gl in ("erf", "poly"):
                   f"{str(e)[:160]}", flush=True)
 PYEOF
 
-echo "--- [2/3] trainer steps/s: kernel vs gather ---" >> "$LOG"
-timeout 2400 python -u - <<'PYEOF' >> "$LOG" 2>&1
-import time
-from nic.config import CompressionConfig
-from nic.cli.image_compression import load_asset
-from nic.train.ntc import NTCTrainer
-for fwd, noise in (("gather","node"), ("kernel","node"), ("kernel","feature")):
-    cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=16,
-                            train_forward=fwd, qat_noise_where=noise,
-                            rng_impl="rbg", tf_write_psnr=False)
-    tr = NTCTrainer(cfg, load_asset(cfg))
-    tr.train_many(1000, chunk=1000)
-    t0 = time.perf_counter()
-    tr.train_many(1000, chunk=1000)
-    print(f"{fwd}/{noise}/rbg: {1000/(time.perf_counter()-t0):.2f} steps/s",
-          flush=True)
-PYEOF
-
-echo "--- [3/3] 20k quality A/B: kernel+node (guarded decodes) ---" >> "$LOG"
+echo "--- [3/6] 20k quality A/B (guarded decodes) ---" >> "$LOG"
 timeout 1800 python -m nic.cli.image_compression NUM_EPOCHS=20000 \
     MLP_NUM_DTYPE=16 TRAIN_FORWARD=kernel QAT_NOISE_WHERE=node RNG_IMPL=rbg \
     INTERVAL_PRINT=5000 >> "$LOG" 2>&1
 timeout 1800 python -m nic.cli.image_compression NUM_EPOCHS=20000 \
     MLP_NUM_DTYPE=16 INTERVAL_PRINT=5000 >> "$LOG" 2>&1
 
-echo "=== r3 queue4 done $(date) ===" >> "$LOG"
-
-echo "--- [4/4] hyperprior decode: device-only transform slope ---" >> "$LOG"
+echo "--- [4/6] hyperprior decode: device-only transform slope ---" >> "$LOG"
 timeout 1800 python scripts/bench_hyperprior_decode.py >> "$LOG" 2>&1
 
-echo "=== r3 queue4 (with [4/4]) done $(date) ===" >> "$LOG"
-
-echo "--- [5/5] stage-2 profile after lattice sampling (gather_fwd_bwd) ---" >> "$LOG"
+echo "--- [5/6] stage-2 profile after lattice sampling ---" >> "$LOG"
 timeout 3600 python scripts/profile_train_step.py --stage2 >> "$LOG" 2>&1
 
-echo "=== r3 queue4 (full) done $(date) ===" >> "$LOG"
+echo "--- [6/6] bench.py refresh ---" >> "$LOG"
+timeout 2400 python bench.py >> "$LOG" 2>&1
+
+echo "=== r3 queue4 done $(date) ===" >> "$LOG"
