@@ -115,11 +115,13 @@ def _axis_take_lattice(src, origin, step: float, n: int, off: int, axis: int):
     integer (traced) ``origin`` and power-of-two static ``step``, as dense
     slice/repeat layout ops.
 
-    Why: ``jnp.take`` with these repeating lattice indices differentiates
-    to a scatter-add, which dominates the train step's gather fwd+bwd
-    budget (2.81 ms of 7.6 — BASELINE.md round-3 profile). In this form
-    the VJP is dynamic_update_slice + reshape-sum (repeat's transpose) +
-    interior-pad (strided slice's transpose) — scatter-free and dense.
+    Why it exists: ``jnp.take`` with these repeating lattice indices
+    differentiates to a scatter-add, which looked like the train step's
+    gather bottleneck. **Measured negative on TPU** (r3 queue4 + A/B):
+    the dense form is 18x slower forward (2.71 vs 0.15 ms) and 3.8x
+    slower fwd+bwd (10.4 vs 2.75 ms) than take/scatter — repeat +
+    dynamic_slice materializes far more bytes than the scatter costs.
+    Kept opt-in (``lattice=True``) as a documented negative; default off.
 
     step < 1 callers must pre-pad ``src`` by one trailing node along
     ``axis`` (the covering node window can overshoot the last used node
@@ -222,7 +224,7 @@ def decoder_input(
     sparse_g0: bool = False,
     dtype=jnp.float32,
     g1_quirk: bool = True,
-    lattice: bool = True,
+    lattice: bool = False,
 ):
     """Assemble decoder-input rows for one n^ndim coordinate block.
 
@@ -254,8 +256,9 @@ def decoder_input(
         g0_offsets = tuple(itertools.product((0, 1), repeat=ndim))
     g1_offsets = tuple(itertools.product((0, 1), repeat=ndim))
 
-    # crop lattice fast path: integer origins + power-of-two step — dense
-    # slice/repeat takes (scatter-free VJP); identical forward values
+    # crop lattice path: integer origins + power-of-two step — dense
+    # slice/repeat takes (scatter-free VJP); identical forward values but
+    # measured SLOWER than take/scatter on TPU (see _axis_take_lattice)
     use_lattice = (
         lattice
         and math.log2(step) == int(math.log2(step))
