@@ -79,6 +79,11 @@ class CompressionConfig:
                                      # | "kernel" (gather features + one fused Pallas
                                      # fwd+loss+bwd kernel, nic.kernels.train_fused;
                                      # TPU, single-device)
+    grid_vjp: str = "scatter"        # grid-gradient path for the train-step gather:
+                                     # "scatter" (autodiff take → scatter-add) |
+                                     # "dense" (hand-written phase-reshape-sum VJP,
+                                     # sample._axis_take_dense_vjp; bit-identical
+                                     # forward, summation-order-equal grads)
     qat_noise_where: str = "feature"  # "feature" (parity: iid noise on every decoder
                                      # input channel, image_compression.py:248-254) |
                                      # "node" (noise the active grids' nodes — models
@@ -210,6 +215,7 @@ _CLI_KEYS: dict[str, str] = {
     "TF_RESUME": "tf_resume",
     "DIV_SIZE": "div_size",
     "TRAIN_FORWARD": "train_forward",
+    "GRID_VJP": "grid_vjp",
     "QAT_NOISE_WHERE": "qat_noise_where",
     "PROFILE_DIR": "profile_dir",
 }

@@ -34,10 +34,13 @@ image_compression.py:94-95/126-128/160-162:
 
 from __future__ import annotations
 
+import functools
 import itertools
 import math
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nic.core.encodings import sinusoidal_pe, triangular_pe
@@ -46,6 +49,7 @@ __all__ = [
     "axis_coords",
     "corner_features",
     "corner_features_lattice",
+    "corner_features_dense_vjp",
     "interp_weights",
     "apply_g1_weights",
     "decoder_input",
@@ -147,6 +151,91 @@ def _axis_take_lattice(src, origin, step: float, n: int, off: int, axis: int):
     return lax.dynamic_slice_in_dim(rep, phase, n, axis)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _axis_take_dense_vjp(src, origin, m: int, step: float, n: int, off: int,
+                         axis: int):
+    """``take(src, floor((arange(n)+origin)·step) + off, axis)`` with a
+    hand-written dense transpose.
+
+    Forward is the plain take (bit-identical to :func:`corner_features`,
+    0.15 ms on the flagship geometry). Backward replaces autodiff's
+    scatter-add — ~2.6 ms of the train step — with a phase reshape-sum:
+    the crop lattice maps ``f = 1/step`` consecutive pixels to one node,
+    so the node cotangent is a dynamic left-shift by the crop phase, a
+    ``[..., m_cov, f]`` reshape, and a sum over the phase axis. All ops
+    are dense; the only dynamic values are the crop origin's node/phase
+    split. (The earlier ``corner_features_lattice`` tried to get this
+    VJP by rewriting the FORWARD as slice/repeat and letting XLA
+    transpose it — measured 18×/3.8× slower; this keeps the take
+    forward and writes the transpose directly.)
+
+    ``m`` is ``src.shape[axis]`` (static, passed explicitly because the
+    bwd needs it for shapes); ``origin`` is the traced integer crop
+    origin in output-pixel units along this axis.
+    """
+    _, idx = axis_coords(origin, step, n)
+    return jnp.take(src, idx + off, axis=axis)
+
+
+def _axis_take_dense_fwd(src, origin, m, step, n, off, axis):
+    return _axis_take_dense_vjp(src, origin, m, step, n, off, axis), origin
+
+
+def _axis_take_dense_bwd(m, step, n, off, axis, origin, ybar):
+    yb = jnp.moveaxis(ybar, axis, -1)  # [..., n]
+    lead = yb.shape[:-1]
+    o = jnp.asarray(origin, jnp.int32)
+    if step >= 1:
+        s = int(step)
+        # pixels hit distinct nodes at stride s: interleave with zero
+        # columns, then one dynamic placement at origin·s + off
+        if s > 1:
+            z = jnp.concatenate(
+                [yb[..., None], jnp.zeros(lead + (n, s - 1), yb.dtype)], -1
+            ).reshape(lead + (n * s,))
+        else:
+            z = yb
+        buf = jnp.zeros(lead + (m + s,), yb.dtype)
+        buf = lax.dynamic_update_slice_in_dim(buf, z, o * s + off, -1)
+    else:
+        f = int(round(1.0 / step))
+        mcov = (n - 1) // f + 2  # covering node count for ANY phase
+        node_lo = o // f
+        phase = o - node_lo * f
+        zp = jnp.zeros(lead + (mcov * f,), yb.dtype)
+        zp = lax.dynamic_update_slice_in_dim(zp, yb, phase, -1)
+        red = zp.reshape(lead + (mcov, f)).sum(-1)
+        # +3 tail slots: the covering window may extend past the last
+        # node; those slots only ever receive zeros (the zp tail beyond
+        # phase+n is zero) and are sliced off below. Sized so the
+        # dynamic start is never clamped (no silent shift).
+        buf = jnp.zeros(lead + (m + 3,), yb.dtype)
+        buf = lax.dynamic_update_slice_in_dim(buf, red, node_lo + off, -1)
+    g = jnp.moveaxis(buf[..., :m], -1, axis)
+    return g, np.zeros(np.shape(origin), jax.dtypes.float0)
+
+
+_axis_take_dense_vjp.defvjp(_axis_take_dense_fwd, _axis_take_dense_bwd)
+
+
+def corner_features_dense_vjp(grid, origins, step: float, n: int, offsets):
+    """:func:`corner_features` with the scatter-free hand-written VJP
+    (:func:`_axis_take_dense_vjp`) per axis take. Forward bit-identical
+    to the take path; requires integer traced origins and a power-of-two
+    static step (pass ``step/2`` for the G1 grid)."""
+    offsets = [tuple(o) for o in offsets]
+    ndim = len(offsets[0])
+    partial = {(): grid}
+    for d in range(ndim):
+        nxt = {}
+        for key in sorted({off[: d + 1] for off in offsets}):
+            src = partial[key[:d]]
+            nxt[key] = _axis_take_dense_vjp(
+                src, origins[d], src.shape[1 + d], step, n, key[d], 1 + d)
+        partial = nxt
+    return {off: partial[off] for off in offsets}
+
+
 def corner_features_lattice(grid, origins, step: float, n: int, offsets):
     """``corner_features`` specialized to the axis-aligned crop lattice
     (coords ``(arange(n)+origin)·step`` with integer traced origins and a
@@ -225,6 +314,7 @@ def decoder_input(
     dtype=jnp.float32,
     g1_quirk: bool = True,
     lattice: bool = False,
+    grid_vjp: str = "scatter",
 ):
     """Assemble decoder-input rows for one n^ndim coordinate block.
 
@@ -256,18 +346,27 @@ def decoder_input(
         g0_offsets = tuple(itertools.product((0, 1), repeat=ndim))
     g1_offsets = tuple(itertools.product((0, 1), repeat=ndim))
 
-    # crop lattice path: integer origins + power-of-two step — dense
-    # slice/repeat takes (scatter-free VJP); identical forward values but
-    # measured SLOWER than take/scatter on TPU (see _axis_take_lattice)
-    use_lattice = (
-        lattice
-        and math.log2(step) == int(math.log2(step))
+    # crop-lattice specializations (integer origins + power-of-two step):
+    # - lattice: dense slice/repeat FORWARD (scatter-free VJP by XLA
+    #   transpose) — measured SLOWER than take/scatter on TPU, opt-in
+    #   negative (see _axis_take_lattice);
+    # - grid_vjp="dense": take forward (bit-identical) + hand-written
+    #   phase-reshape-sum backward (see _axis_take_dense_vjp)
+    on_lattice = (
+        math.log2(step) == int(math.log2(step))
         and jnp.issubdtype(jnp.asarray(origin).dtype, jnp.integer)
     )
+    use_lattice = lattice and on_lattice
+    use_dense_vjp = grid_vjp == "dense" and on_lattice and not use_lattice
     if use_lattice:
         g0_corners = corner_features_lattice(
             g0_grid, origin, step, n, g0_offsets)
         g1_corners = corner_features_lattice(
+            g1_grid, origin, step * 0.5, n, g1_offsets)
+    elif use_dense_vjp:
+        g0_corners = corner_features_dense_vjp(
+            g0_grid, origin, step, n, g0_offsets)
+        g1_corners = corner_features_dense_vjp(
             g1_grid, origin, step * 0.5, n, g1_offsets)
     else:
         g0_corners = corner_features(g0_grid, i0s, g0_offsets)
@@ -276,7 +375,7 @@ def decoder_input(
     t1s = [t / 2.0 for t in ts]
     i1s = [jnp.floor(t1).astype(jnp.int32) for t1 in t1s]
     f1s = [t1 - i1.astype(dtype) for t1, i1 in zip(t1s, i1s)]
-    if not use_lattice:
+    if not use_lattice and not use_dense_vjp:
         g1_corners = corner_features(g1_grid, i1s, g1_offsets)
     g1_sum = apply_g1_weights(g1_corners, f1s, step, g1_quirk)  # [C, n0.. ]
 

@@ -236,7 +236,7 @@ class NTCTrainer:
                     fp, fl, origin, step, n,
                     pe_channels=cfg.pe_channels, mip_level=lod, ndim=ndim,
                     use_tri_pe=use_tri_pe, sparse_g0=sparse_g0, dtype=dtype,
-                    g1_quirk=cfg.tf_g1_quirk,
+                    g1_quirk=cfg.tf_g1_quirk, grid_vjp=cfg.grid_vjp,
                 )
 
             x = jax.vmap(one)(origins)  # [crops, n^ndim, F]

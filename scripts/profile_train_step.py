@@ -69,13 +69,18 @@ def build_components(cfg, images):
     mixed = cfg.mlp_num_dtype == 16
     matmul_dtype = jnp.bfloat16 if mixed else None
 
-    def features(fp, origins):
-        def one(origin):
-            return decoder_input(
-                fp, fl, origin, step, n, pe_channels=cfg.pe_channels,
-                mip_level=0, ndim=ndim, use_tri_pe=cfg.tf_use_tri_pe,
-                dtype=jnp.float32, g1_quirk=cfg.tf_g1_quirk)
-        return jax.vmap(one)(origins).reshape(npix, nfeat)
+    def make_features(grid_vjp="scatter"):
+        def features(fp, origins):
+            def one(origin):
+                return decoder_input(
+                    fp, fl, origin, step, n, pe_channels=cfg.pe_channels,
+                    mip_level=0, ndim=ndim, use_tri_pe=cfg.tf_use_tri_pe,
+                    dtype=jnp.float32, g1_quirk=cfg.tf_g1_quirk,
+                    grid_vjp=grid_vjp)
+            return jax.vmap(one)(origins).reshape(npix, nfeat)
+        return features
+
+    features = make_features()
 
     def targets(origins):
         def one(origin):
@@ -147,6 +152,16 @@ def build_components(cfg, images):
         return s + jnp.sum(gf[fl * 2]) * 1e-9
     comps["gather_fwd_bwd"] = chain(gather_bwd_body)
 
+    # round-3: hand-written dense VJP (GRID_VJP=dense) vs autodiff scatter
+    features_dv = make_features("dense")
+    gather_grad_dv = jax.grad(
+        lambda f: jnp.mean(features_dv(f, origins0) ** 2))
+
+    def gather_bwd_dv_body(i, s):
+        gf = gather_grad_dv((fp[0] + s * 1e-30,) + tuple(fp[1:]))
+        return s + jnp.sum(gf[fl * 2]) * 1e-9
+    comps["gather_fwd_bwd_densevjp"] = chain(gather_bwd_dv_body)
+
     from nic.core.metrics import psnr as psnr_fn
     from nic.core.quant import quantize_to_bit
     out0 = jax.jit(lambda: apply_mlp(mlp, x0, matmul_dtype=matmul_dtype))()
@@ -207,7 +222,7 @@ def main() -> None:
     out = {"pixels_per_step": base.num_crops * base.crop_size**2}
 
     STAGE2_COMPS = ("targets_build", "mlp_fwd_bwd", "gather_fwd_bwd",
-                    "psnr_step", "adam_clamp")
+                    "gather_fwd_bwd_densevjp", "psnr_step", "adam_clamp")
 
     # ---- component ablation (fp32 and surgical-bf16 reference shape) ----
     dtypes = (("bf16", 16),) if args.stage2 else (("fp32", 32), ("bf16", 16))
@@ -267,10 +282,23 @@ def main() -> None:
                                       rng_impl="rbg")),
         ("bf16_kernel_feature", dict(mlp_num_dtype=16,
                                      train_forward="kernel")),
+        # round-3 stage 4: dense grid-grad VJP (GRID_VJP=dense) on top of
+        # the best configs
+        ("bf16_gather_node_rbg_densevjp", dict(mlp_num_dtype=16,
+                                               qat_noise_where="node",
+                                               rng_impl="rbg",
+                                               grid_vjp="dense")),
+        ("bf16_kernel_node_rbg_densevjp", dict(mlp_num_dtype=16,
+                                               train_forward="kernel",
+                                               qat_noise_where="node",
+                                               rng_impl="rbg",
+                                               grid_vjp="dense")),
     ]
     for tag, kw in variants:
-        if args.stage2 and "gather_node_" not in tag:
+        if args.stage2 and "gather_node_" not in tag and "densevjp" not in tag:
             continue
+        if "kernel" in tag and jax.default_backend() != "tpu":
+            continue  # the fused train kernel has no CPU interpret path
         # variant kwargs win over the shape preset (--tiny pins num_crops;
         # the crops16 scaling variants override it)
         cfg = CompressionConfig(**{"num_epochs": 10**6, **shape_kw, **kw})

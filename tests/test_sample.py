@@ -178,9 +178,10 @@ def test_g1_quirk_flag():
 ])
 def test_lattice_path_bit_matches_take(ndim, sparse, step, n, origin):
     """The scatter-free crop-lattice sampler (corner_features_lattice,
-    the default) must be BIT-identical to the take path in both forward
-    values and grid gradients (its VJP is dense slice/repeat transposes
-    instead of scatter-adds — the round-3 train-step optimization)."""
+    opt-in — measured slower than take/scatter on chip, kept as a
+    documented negative) must be BIT-identical to the take path in both
+    forward values and grid gradients (its VJP is dense slice/repeat
+    transposes instead of scatter-adds)."""
     import jax
     import jax.numpy as jnp
     from nic.grids import sample
@@ -206,3 +207,78 @@ def test_lattice_path_bit_matches_take(ndim, sparse, step, n, origin):
     gb = jax.grad(lambda f: loss(f, False))(fp)
     for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("ndim,sparse,step,n,origins", [
+    (2, False, 2.0, 8, [(1, 2), (0, 0), (8, 8)]),
+    (2, False, 1.0, 16, [(3, 5), (0, 48), (48, 48)]),
+    (2, False, 0.25, 16, [(2, 9), (0, 0), (240, 240), (239, 1)]),
+    (2, False, 0.0625, 32, [(11, 3), (0, 992), (992, 992)]),
+    (3, False, 0.5, 8, [(3, 1, 0), (24, 24, 24)]),
+    (3, True, 0.25, 8, [(2, 5, 7), (0, 0, 0), (56, 56, 56)]),
+    (2, False, 0.5, 16, [(7, 0), (112, 112)]),
+])
+def test_dense_vjp_matches_take(ndim, sparse, step, n, origins):
+    """grid_vjp="dense" (take forward + hand-written phase-reshape-sum
+    backward, _axis_take_dense_vjp) must match the autodiff take path:
+    forward BIT-identical, gradients to summation-order rounding — across
+    steps >=1 and <1, 2D/3D, sparse G0, interior AND boundary origins
+    (the dynamic_update_slice placement must never clamp-shift)."""
+    import jax
+    import jax.numpy as jnp
+    from nic.grids import sample
+
+    if ndim == 2:
+        fp_np = _mk_pyramid_2d(np.random.default_rng(7), 64, 4, 2)
+    else:
+        fp_np = _mk_pyramid_3d(np.random.default_rng(7), 16, 3, 2)
+    fp = tuple(jnp.asarray(g, jnp.float32) for g in fp_np)
+    kw = dict(pe_channels=4, mip_level=0, ndim=ndim, sparse_g0=sparse,
+              use_tri_pe=not sparse)
+
+    for origin in origins:
+        o = jnp.asarray(origin, jnp.int32)
+        a = sample.decoder_input(fp, 0, o, step, n, grid_vjp="dense", **kw)
+        b = sample.decoder_input(fp, 0, o, step, n, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(fpp, vjp, o=o):
+            x = sample.decoder_input(fpp, 0, o, step, n, grid_vjp=vjp, **kw)
+            return jnp.sum(x * x * 0.5)
+
+        ga = jax.grad(lambda f: loss(f, "dense"))(fp)
+        gb = jax.grad(lambda f: loss(f, "scatter"))(fp)
+        for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_dense_vjp_under_vmap():
+    """The custom-vjp take must batch correctly under vmap over crop
+    origins (the trainer's shape), including through jax.grad."""
+    import jax
+    import jax.numpy as jnp
+    from nic.grids import sample
+
+    fp_np = _mk_pyramid_2d(np.random.default_rng(11), 64, 4, 2)
+    fp = tuple(jnp.asarray(g, jnp.float32) for g in fp_np)
+    kw = dict(pe_channels=4, mip_level=0, ndim=2, sparse_g0=False,
+              use_tri_pe=True)
+    origins = jnp.asarray([[2, 9], [0, 0], [240, 240], [17, 133]], jnp.int32)
+    step, n = 0.25, 16
+
+    def batch(fpp, vjp):
+        def one(o):
+            return sample.decoder_input(fpp, 0, o, step, n, grid_vjp=vjp,
+                                        **kw)
+        return jax.vmap(one)(origins)
+
+    a = batch(fp, "dense")
+    b = batch(fp, "scatter")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ga = jax.grad(lambda f: jnp.sum(batch(f, "dense") ** 2))(fp)
+    gb = jax.grad(lambda f: jnp.sum(batch(f, "scatter") ** 2))(fp)
+    for x, y in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-6)
