@@ -37,6 +37,7 @@ class HyperpriorTrainer:
         batch: int = 8,
         seed: int = 0,
         mesh=None,
+        clip_grad_norm: float = 1.0,
     ):
         """``mesh``: optional ('data', 'pixel') device mesh — the patch
         batch shards over 'data', transform params replicate, and the SPMD
@@ -52,7 +53,16 @@ class HyperpriorTrainer:
         self.params = replicate(
             self.model.init({"params": k_init}, dummy, None), mesh
         )
-        self._tx = optax.adam(lr)
+        # Global-norm clipping guards the entropy/transform params against
+        # rare rate-loss spikes: a 50k-step lam=0.018 run measured healthy
+        # (loss 2.67, kernels |max| ~1.2) at 48k and exploded (loss 8.6,
+        # kernels 7e4, eval -5.3 dB) by 50k without it — one bad minibatch
+        # is unrecoverable under plain Adam. clip_grad_norm=0 disables.
+        self._tx = (
+            optax.chain(optax.clip_by_global_norm(clip_grad_norm),
+                        optax.adam(lr))
+            if clip_grad_norm else optax.adam(lr)
+        )
         self.opt_state = self._tx.init(self.params)
         self.step = 0
         self._jit_step = self._build_step()
@@ -189,9 +199,17 @@ class HyperpriorTrainer:
     def load_checkpoint(self, path: str) -> None:
         from nic.io.artifacts import load_checkpoint
 
-        self.step, self.params, self.opt_state = load_checkpoint(
-            path, self.params, self.opt_state
-        )
+        try:
+            self.step, self.params, self.opt_state = load_checkpoint(
+                path, self.params, self.opt_state
+            )
+        except KeyError:
+            # optimizer-state layout mismatch (e.g. a checkpoint written
+            # before clip_grad_norm wrapped the Adam chain): restore the
+            # params and resume with a fresh optimizer state rather than
+            # refusing — params-shape mismatches still fail loudly above
+            self.step, self.params = load_checkpoint(path, self.params)
+            self.opt_state = self._tx.init(self.params)
 
     def evaluate(self, image: np.ndarray):
         """Hard-quantized PSNR/bpp on one HWC image in [0,1] (padded to a

@@ -125,3 +125,29 @@ def test_hyperprior_cli(tmp_path):
     ])
     assert np.isfinite(res["mean_psnr"])
     assert res["mean_bpp_bitstream"] > 0
+
+
+def test_checkpoint_backcompat_across_opt_chain(tmp_path):
+    """A checkpoint written by a plain-Adam trainer (pre-clip_grad_norm)
+    must still load into the clipped trainer: params + step restore, opt
+    state re-inits (the KeyError fallback in load_checkpoint)."""
+    import jax
+
+    old = HyperpriorTrainer(n=16, m=24, lam=0.01, patch=64, batch=2,
+                            seed=0, clip_grad_norm=0.0)
+    old.step = 123
+    path = str(tmp_path / "ck.npz")
+    old.save_checkpoint(path)
+
+    new = HyperpriorTrainer(n=16, m=24, lam=0.01, patch=64, batch=2,
+                            seed=1, clip_grad_norm=1.0)
+    new.load_checkpoint(path)
+    assert new.step == 123
+    for a, b in zip(jax.tree.leaves(old.params), jax.tree.leaves(new.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the clipped trainer still steps
+    imgs = _toy_images(2)
+    staged = new.stage_images(imgs)
+    loss, bpp, mse = new.train_chunk(staged, 3)
+    assert np.isfinite(loss).all()
