@@ -79,6 +79,10 @@ class CompressionConfig:
                                      # | "kernel" (gather features + one fused Pallas
                                      # fwd+loss+bwd kernel, nic.kernels.train_fused;
                                      # TPU, single-device)
+                                     # | "kernel2" (kernel + NODE-resolution grid
+                                     # gradients reduced in VMEM — no [N,F] cotangent,
+                                     # no scatter; falls back to "kernel" off the
+                                     # 2D power-of-two crop lattice)
     grid_vjp: str = "scatter"        # grid-gradient path for the train-step gather:
                                      # "scatter" (autodiff take → scatter-add) |
                                      # "dense" (hand-written phase-reshape-sum VJP,

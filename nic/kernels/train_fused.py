@@ -261,6 +261,366 @@ def _impl(x, tgt, w1, b1, w2, b2, w3, b3, *, R: int, matmul_dtype,
     return loss, out_t.T, dx, grads
 
 
+# ---------------------------------------------------------------------------
+# Node-gradient variant (TRAIN_FORWARD=kernel2)
+#
+# The scatter path's remaining cost is NOT the forward gather (0.15 ms) but
+# its VJP: the kernel writes dx [N, F] f32 (153 MB at flagship shapes) and
+# XLA scatter-adds it into the grids — ~2.5 ms of the 7.1 ms step. Both
+# dense rewrites of that scatter (XLA-transposed lattice forward, and a
+# hand-written per-axis dense VJP) measured SLOWER than the scatter
+# (BASELINE.md round-3 negatives): at PIXEL resolution any path moves
+# hundreds of MB. The fix is resolution, not scatter-vs-dense: dz1 is
+# already in VMEM, and grid gradients are linear images of it —
+#
+#   dG0[:, i+o0, j+o1] += W1_o^T · dP[i, j],  dP[i, j]  = Σ_{px in cell} dz1[px]
+#   dG1[:, node]       += W1_g1^T · dC1[node], dC1[node] = Σ_px w_px,node dz1[px]
+#
+# so the kernel reduces dz1 [R, H] to node-resolution dP/dC1 planes (phase
+# reshape-sums over the crop lattice, per (crop, row-block) grid step) and
+# never writes a pixel-resolution cotangent at all: HBM cost of the grid
+# backward drops from ~300 MB to ~2 MB of node planes + four tiny
+# node-resolution matmuls in the XLA unfold.
+#
+# Geometry: 2D dense-G0 crops on a power-of-two lattice with step ≤ 1
+# (f = 1/step ∈ {1,2,4,8}, f1 = 2f | rows-per-block) — the flagship
+# protocol and every upsampling mip. Other geometries fall back to
+# fused_mlp_loss + autodiff scatter. Crop origins ride scalar prefetch;
+# every operand/output window still advances with the grid (the rev-2
+# layout rules).
+# ---------------------------------------------------------------------------
+
+
+def _colreduce(z, ph, f: int, ncols: int):
+    """[rows, n, H] → [rows, ncols, H]: out[:, j] = Σ_{c: (c+ph)//f == j} z[:, c]
+    for a traced phase ``ph`` ∈ [0, f). Dense: shift by (8-ph) into an
+    8-padded buffer, then an [n', f] reshape-sum over the phase axis."""
+    rows, n, h = z.shape
+    if f == 1:
+        # every pixel col is its own node col; ph == 0 by construction
+        return z[:, :ncols, :]
+    zcat = jnp.concatenate(
+        [jnp.zeros((rows, 8, h), z.dtype), z, jnp.zeros((rows, 8, h), z.dtype)],
+        axis=1,
+    )
+    zp = jax.lax.dynamic_slice(zcat, (0, 8 - ph, 0), (rows, n + 8, h))
+    g = zp.reshape(rows, (n + 8) // f, f, h).sum(axis=2)
+    return g[:, :ncols, :]
+
+
+def _rowreduce_sum(z, ph, f: int, nrows: int):
+    """[rows, C, H] → [nrows, C, H]: slot (ri+ph)//f gets row ri (G0 cells)."""
+    rows = z.shape[0]
+    slots = []
+    for q in range(nrows):
+        acc = jnp.zeros(z.shape[1:], z.dtype)
+        for ri in range(rows):
+            acc = acc + jnp.where((ri + ph) // f == q, z[ri], 0.0)
+        slots.append(acc[None])
+    return jnp.concatenate(slots, axis=0)
+
+
+def _rowreduce_g1(z, ph, f1: int, nrows: int):
+    """[rows, C, H] → [nrows, C, H] with linear-interp row weights: row ri
+    contributes (1-fu) to node (ri+ph)//f1 and fu to the next node."""
+    rows = z.shape[0]
+    slots = [jnp.zeros(z.shape[1:], z.dtype) for _ in range(nrows)]
+    for ri in range(rows):
+        q = (ri + ph) // f1
+        fu = ((ri + ph) % f1).astype(jnp.float32) * (1.0 / f1)
+        za = (1.0 - fu) * z[ri]
+        zb = fu * z[ri]
+        for q_ in range(nrows):
+            slots[q_] = (slots[q_] + jnp.where(q == q_, za, 0.0)
+                         + jnp.where(q + 1 == q_, zb, 0.0))
+    return jnp.concatenate([s[None] for s in slots], axis=0)
+
+
+def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
+               dc1_ref, *, cd, inv_total: float, gelu: str, feat: int,
+               hidden: int, oc: int, lay: tuple, rowsb: int, ncols: int,
+               f: int, f1: int, nr0: int, nc0: int, pc0: int, nr1: int,
+               nc1: int, pc1: int):
+    f32 = jnp.float32
+    (o_w1, o_b1, o_w2, o_b2, o_w3t, o_b3, o_loss) = lay
+    crop = pl.program_id(0)
+    o0 = org_ref[crop, 0]
+    o1 = org_ref[crop, 1]
+
+    x = x_ref[:, :]                    # [R, F] f32, R = rowsb·ncols
+    xb = x.astype(cd)
+    pk = pk_ref[0]
+    w1 = pk[o_w1:o_w1 + feat, :].astype(cd)
+    b1 = pk[o_b1:o_b1 + 1, :]
+    w2 = pk[o_w2:o_w2 + hidden, :].astype(cd)
+    b2 = pk[o_b2:o_b2 + 1, :]
+    w3t = pk[o_w3t:o_w3t + oc, :].astype(cd)
+    b3col = pk[o_b3:o_b3 + oc, 0:1]
+
+    z1 = jnp.dot(xb, w1, preferred_element_type=f32) + b1
+    h1, aux1 = _gelu_fwd(z1, gelu)
+    h1b = h1.astype(cd)
+    z2 = jnp.dot(h1b, w2, preferred_element_type=f32) + b2
+    h2, aux2 = _gelu_fwd(z2, gelu)
+    h2b = h2.astype(cd)
+    z3t = jax.lax.dot_general(
+        w3t, h2b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) + b3col
+    out = jax.nn.sigmoid(z3t)
+    diff = out - tgt_ref[:, :]
+    out_ref[:, :] = out
+    gk_ref[0, o_loss:o_loss + 1, :] = jnp.full(
+        (1, hidden), jnp.sum(diff * diff) * inv_total, f32)
+
+    dz3t = (2.0 * inv_total) * diff * out * (1.0 - out)
+    dz3b = dz3t.astype(cd)
+    gk_ref[0, o_w3t:o_w3t + oc, :] = jax.lax.dot_general(
+        dz3b, h2b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    gk_ref[0, o_b3:o_b3 + oc, 0:1] = jnp.sum(dz3t, axis=1, keepdims=True)
+    dh2 = jax.lax.dot_general(
+        dz3b, w3t, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dz2 = dh2 * _gelu_bwd(z2, aux2, gelu)
+    dz2b = dz2.astype(cd)
+    gk_ref[0, o_w2:o_w2 + hidden, :] = jax.lax.dot_general(
+        h1b, dz2b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    gk_ref[0, o_b2:o_b2 + 1, :] = jnp.sum(dz2, axis=0, keepdims=True)
+    dh1 = jax.lax.dot_general(
+        dz2b, w2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dz1 = dh1 * _gelu_bwd(z1, aux1, gelu)
+    dz1b = dz1.astype(cd)
+    gk_ref[0, o_w1:o_w1 + feat, :] = jax.lax.dot_general(
+        xb, dz1b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    gk_ref[0, o_b1:o_b1 + 1, :] = jnp.sum(dz1, axis=0, keepdims=True)
+
+    # ---- node-resolution grid cotangents (replaces the dx writeback) ----
+    z3d = dz1.reshape(rowsb, ncols, hidden)
+    # G0: plain cell sums at period f
+    dp = _rowreduce_sum(_colreduce(z3d, o1 % f if f > 1 else 0, f, nc0),
+                        o0 % f if f > 1 else 0, f, nr0)
+    if pc0 > nc0:
+        dp = jnp.concatenate(
+            [dp, jnp.zeros((nr0, pc0 - nc0, hidden), f32)], axis=1)
+    dp_ref[0] = dp
+    # G1: linear-interp-weighted sums at period f1 (floor + next node)
+    ph1c = o1 % f1
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, ncols, 1), 1)
+    fu_c = ((cc + ph1c) % f1).astype(f32) * (1.0 / f1)
+    sa = _colreduce(z3d * (1.0 - fu_c), ph1c, f1, nc1 - 1)
+    sb = _colreduce(z3d * fu_c, ph1c, f1, nc1 - 1)
+    zrow = jnp.zeros((rowsb, 1, hidden), f32)
+    dcol = (jnp.concatenate([sa, zrow], axis=1)
+            + jnp.concatenate([zrow, sb], axis=1))      # [rowsb, nc1, H]
+    dc1 = _rowreduce_g1(dcol, o0 % f1, f1, nr1)
+    if pc1 > nc1:
+        dc1 = jnp.concatenate(
+            [dc1, jnp.zeros((nr1, pc1 - nc1, hidden), f32)], axis=1)
+    dc1_ref[0] = dc1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crops", "ncols", "rowsb", "f", "matmul_dtype", "gelu"))
+def _impl_ng(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
+             ncols: int, rowsb: int, f: int, matmul_dtype,
+             gelu: str = "erf"):
+    n_total, feat = x.shape
+    hidden = w1.shape[1]
+    oc = w3.shape[1]
+    assert oc <= 8 and oc <= hidden
+    R = rowsb * ncols
+    B = (ncols * ncols) // (rowsb * ncols)   # blocks per crop
+    steps = crops * B
+    assert steps * R == n_total
+    f1 = 2 * f
+    nr0 = (rowsb + f - 2) // f + 1
+    nc0 = (ncols + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    nc1 = ncols // f1 + 2
+    pc0 = _pad8(nc0)
+    pc1 = _pad8(nc1)
+    cd = matmul_dtype or jnp.float32
+    f32 = jnp.float32
+    lay = _layout(feat, hidden, oc)
+
+    tgt_t = tgt.T
+    pk = jnp.zeros((lay["rows_in"], hidden), f32)
+    pk = pk.at[lay["w1"]:lay["w1"] + feat].set(w1.astype(f32))
+    pk = pk.at[lay["b1"]].set(b1.astype(f32))
+    pk = pk.at[lay["w2"]:lay["w2"] + hidden].set(w2.astype(f32))
+    pk = pk.at[lay["b2"]].set(b2.astype(f32))
+    pk = pk.at[lay["w3t"]:lay["w3t"] + oc].set(w3.astype(f32).T)
+    pk = pk.at[lay["b3"]:lay["b3"] + oc].set(
+        jnp.broadcast_to(b3.astype(f32)[:, None], (oc, hidden)))
+    pkt = jnp.tile(pk[None], (steps, 1, 1))
+
+    kernel = functools.partial(
+        _kernel_ng, cd=cd, inv_total=1.0 / (n_total * oc), gelu=gelu,
+        feat=feat, hidden=hidden, oc=oc,
+        lay=(lay["w1"], lay["b1"], lay["w2"], lay["b2"], lay["w3t"],
+             lay["b3"], lay["loss"]),
+        rowsb=rowsb, ncols=ncols, f=f, f1=f1, nr0=nr0, nc0=nc0, pc0=pc0,
+        nr1=nr1, nc1=nc1, pc1=pc1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(crops, B),
+        in_specs=[
+            pl.BlockSpec((R, feat), lambda c, b, org: (c * B + b, 0)),
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + b)),
+            pl.BlockSpec((1, lay["rows_in"], hidden),
+                         lambda c, b, org: (c * B + b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + b)),
+            pl.BlockSpec((1, lay["rows_out"], hidden),
+                         lambda c, b, org: (c * B + b, 0, 0)),
+            pl.BlockSpec((1, nr0, pc0, hidden),
+                         lambda c, b, org: (c * B + b, 0, 0, 0)),
+            pl.BlockSpec((1, nr1, pc1, hidden),
+                         lambda c, b, org: (c * B + b, 0, 0, 0)),
+        ],
+    )
+    out_t, gk, dp, dc1 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((oc, n_total), f32),
+            jax.ShapeDtypeStruct((steps, lay["rows_out"], hidden), f32),
+            jax.ShapeDtypeStruct((steps, nr0, pc0, hidden), f32),
+            jax.ShapeDtypeStruct((steps, nr1, pc1, hidden), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_total * (feat * hidden + hidden * hidden
+                                 + hidden * oc),
+            bytes_accessed=(n_total * feat + 2 * n_total * oc) * 4,
+            transcendentals=0 if gelu == "poly" else 4 * n_total * hidden,
+        ),
+    )(origins.astype(jnp.int32), x, tgt_t, pkt)
+    g = jnp.sum(gk, axis=0)
+    loss = jnp.sum(gk[:, lay["loss"], 0])
+    grads = {
+        "w1": g[lay["w1"]:lay["w1"] + feat],
+        "b1": g[lay["b1"]],
+        "w2": g[lay["w2"]:lay["w2"] + hidden],
+        "b2": g[lay["b2"]],
+        "w3": g[lay["w3t"]:lay["w3t"] + oc].T,
+        "b3": g[lay["b3"]:lay["b3"] + oc, 0],
+    }
+    return loss, out_t.T, grads, dp, dc1
+
+
+def _unfold_node_grads(dp, dc1, origins, w1, *, crops: int, ncols: int,
+                       rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
+                       channels: int):
+    """XLA-side backward tail: overlap-add the per-block node planes,
+    place each crop's window into full-grid accumulators, and contract
+    with the W1 feature blocks → (dG0, dG1) in grid layout [C, s, s]."""
+    f32 = jnp.float32
+    hidden = w1.shape[1]
+    f1 = 2 * f
+    B = (ncols * ncols) // (rowsb * ncols)
+    nr0 = (rowsb + f - 2) // f + 1
+    nc0 = (ncols + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    nc1 = ncols // f1 + 2
+    s0 = rowsb // f
+    s1 = max(rowsb // f1, 1)
+
+    dp = dp.reshape(crops, B, nr0, -1, hidden)[:, :, :, :nc0]
+    rows0 = (B - 1) * s0 + nr0
+    acc0 = jnp.zeros((crops, rows0, nc0, hidden), f32)
+    for q in range(nr0):
+        acc0 = acc0.at[:, q:q + (B - 1) * s0 + 1:s0].add(dp[:, :, q])
+
+    dc1 = dc1.reshape(crops, B, nr1, -1, hidden)[:, :, :, :nc1]
+    rows1 = (B - 1) * s1 + nr1
+    acc1 = jnp.zeros((crops, rows1, nc1, hidden), f32)
+    for q in range(nr1):
+        acc1 = acc1.at[:, q:q + (B - 1) * s1 + 1:s1].add(dc1[:, :, q])
+
+    P = jnp.zeros((g0_nodes + 1, g0_nodes + 1, hidden), f32)
+    C1 = jnp.zeros((g1_nodes + 2, g1_nodes + 2, hidden), f32)
+    for i in range(crops):
+        r0 = origins[i, 0] // f
+        c0 = origins[i, 1] // f
+        cur = jax.lax.dynamic_slice(P, (r0, c0, 0), (rows0, nc0, hidden))
+        P = jax.lax.dynamic_update_slice(P, cur + acc0[i], (r0, c0, 0))
+        r1 = origins[i, 0] // f1
+        c1_ = origins[i, 1] // f1
+        cur1 = jax.lax.dynamic_slice(C1, (r1, c1_, 0), (rows1, nc1, hidden))
+        C1 = jax.lax.dynamic_update_slice(C1, cur1 + acc1[i], (r1, c1_, 0))
+
+    ch = channels
+    dg0 = jnp.zeros((g0_nodes + 2, g0_nodes + 2, ch), f32)
+    for k, (o0, o1) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        blk = w1[k * ch:(k + 1) * ch]          # [ch, H]
+        t = jax.lax.dot_general(P, blk, (((2,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+        dg0 = dg0.at[o0:o0 + g0_nodes + 1, o1:o1 + g0_nodes + 1].add(t)
+    dg0 = jnp.moveaxis(dg0[:g0_nodes, :g0_nodes], -1, 0)
+
+    blk1 = w1[4 * ch:5 * ch]
+    t1 = jax.lax.dot_general(C1, blk1, (((2,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dg1 = jnp.moveaxis(t1[:g1_nodes, :g1_nodes], -1, 0)
+    return dg0, dg1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_mlp_loss_ng(g0, g1, mlp: dict, x, tgt, origins, crops: int,
+                      ncols: int, rowsb: int, f: int, matmul_dtype=None,
+                      gelu: str = "erf"):
+    """(loss, out) with grid gradients delivered at NODE resolution.
+
+    ``g0``/``g1``: the active pyramid grids ([C, s, s] — their VALUES are
+    unused in the primal; ``x`` already contains the gathered features,
+    and the caller must ``stop_gradient`` it so grid gradients flow ONLY
+    through this function's hand-built backward). ``origins``: [crops, 2]
+    int32 crop origins in output-pixel units. Geometry must satisfy the
+    kernel lattice gate (see trainer); semantics otherwise identical to
+    :func:`fused_mlp_loss`.
+    """
+    loss, out, _, _, _ = _impl_ng(
+        x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+        mlp["w3"], mlp["b3"], crops=crops, ncols=ncols, rowsb=rowsb, f=f,
+        matmul_dtype=matmul_dtype, gelu=gelu)
+    return loss, out
+
+
+def _fwd_ng(g0, g1, mlp, x, tgt, origins, crops, ncols, rowsb, f,
+            matmul_dtype, gelu):
+    loss, out, grads, dp, dc1 = _impl_ng(
+        x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+        mlp["w3"], mlp["b3"], crops=crops, ncols=ncols, rowsb=rowsb, f=f,
+        matmul_dtype=matmul_dtype, gelu=gelu)
+    # g0/g1 ride the residuals for their STATIC shapes only (same buffers,
+    # no copies — they are live params anyway)
+    res = (grads, dp, dc1, origins, mlp["w1"], g0, g1)
+    return (loss, out), res
+
+
+def _bwd_ng(crops, ncols, rowsb, f, matmul_dtype, gelu, res, cot):
+    import numpy as np
+
+    (grads, dp, dc1, origins, w1, g0_res, g1_res) = res
+    g0_shape, g1_shape = g0_res.shape, g1_res.shape
+    g_loss, _ = cot
+    dg0, dg1 = _unfold_node_grads(
+        dp, dc1, origins, w1, crops=crops, ncols=ncols, rowsb=rowsb, f=f,
+        g0_nodes=g0_shape[1], g1_nodes=g1_shape[1], channels=g0_shape[0])
+    dmlp = jax.tree.map(lambda t: t * g_loss, grads)
+    feat = w1.shape[0]
+    oc = grads["w3"].shape[1]
+    n_total = crops * ncols * ncols
+    return (dg0 * g_loss, dg1 * g_loss, dmlp,
+            jnp.zeros((n_total, feat), jnp.float32),
+            jnp.zeros((n_total, oc), jnp.float32),
+            np.zeros(origins.shape, jax.dtypes.float0))
+
+
+fused_mlp_loss_ng.defvjp(_fwd_ng, _bwd_ng)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_mlp_loss(mlp: dict, x, tgt, matmul_dtype=None, gelu: str = "erf"):
     """(loss, out) of the 3-layer decoder MLP + MSE vs ``tgt``, with a

@@ -195,13 +195,39 @@ class NTCTrainer:
         # fused Pallas kernel computing fwd+loss+bwd in a single pass
         # (nic.kernels.train_fused). Single-device only: under a mesh the
         # [N, F] matrix is sharded and the XLA SPMD path handles it.
-        use_kernel = cfg.train_forward == "kernel" and mesh is None
+        use_kernel = cfg.train_forward in ("kernel", "kernel2") and mesh is None
         kernel_rows = None
         if use_kernel:
             from nic.kernels.train_fused import pick_block_rows
 
             kernel_rows = pick_block_rows(num_crops * n**ndim)
             use_kernel = kernel_rows is not None
+        # TRAIN_FORWARD=kernel2: same fused pass, but the kernel reduces
+        # dz1 to NODE-resolution dP/dC1 planes in VMEM and the bwd unfolds
+        # them with tiny node-resolution matmuls — no [N, F] cotangent, no
+        # scatter (nic.kernels.train_fused, node-gradient section). Gated
+        # to the 2D dense-G0 power-of-two lattice with step ≤ 1; anything
+        # else falls back to the dx-writeback kernel ("kernel" mode).
+        use_kernel2 = False
+        k2_rowsb = k2_f = None
+        if use_kernel and cfg.train_forward == "kernel2" and ndim == 2 \
+                and not sparse_g0 and 0 < step <= 1:
+            f_inv = 1.0 / step
+            if abs(f_inv - round(f_inv)) < 1e-9:
+                k2_f = int(round(f_inv))
+                f1 = 2 * k2_f
+                k2_rowsb = min(max(kernel_rows // n, f1), n)
+                use_kernel2 = (
+                    f1 <= 8
+                    and n % k2_rowsb == 0
+                    and k2_rowsb % f1 == 0
+                    and (n + 8) % k2_f == 0
+                    and (n + 8) % f1 == 0
+                )
+        # introspection for tests/debugging: which forward actually engaged
+        self._forward_mode = ("kernel2" if use_kernel2 else
+                              "kernel" if use_kernel else
+                              "folded" if use_folded else "gather")
         noise_node = cfg.qat_noise_where == "node"
         mip_to_level = self.mip_to_level
 
@@ -317,6 +343,20 @@ class NTCTrainer:
             return t.reshape(-1, 3)
 
         def loss_fn(fp, mlp, origins, noise_key):
+            if use_kernel2:
+                from nic.kernels.train_fused import fused_mlp_loss_ng
+
+                x = gather_features(fp, origins, noise_key)
+                tgt = targets_of(origins)
+                # grid grads flow ONLY through the kernel's node-space
+                # backward; stop_gradient kills the gather VJP entirely
+                loss, out = fused_mlp_loss_ng(
+                    fp[fl * 2], fp[fl * 2 + 1], mlp,
+                    jax.lax.stop_gradient(x.astype(jnp.float32)), tgt,
+                    origins, num_crops, n, k2_rowsb, k2_f, matmul_dtype,
+                    "erf",
+                )
+                return loss, (out, tgt)
             if use_kernel:
                 from nic.kernels.train_fused import fused_mlp_loss
 

@@ -115,3 +115,105 @@ def test_trainer_kernel_forward_matches_gather():
         res[fwd] = np.asarray(losses)
     assert res["gather"][0] == pytest.approx(res["kernel"][0], rel=1e-6)
     np.testing.assert_allclose(res["gather"], res["kernel"], rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Node-gradient variant (fused_mlp_loss_ng): grid gradients at node
+# resolution vs the autodiff gather+scatter reference
+# ---------------------------------------------------------------------------
+
+def _ng_setup(seed, C, pe, n, step, data_size, crops, H=16):
+    from nic.grids.sample import decoder_input
+
+    f = int(round(1.0 / step))
+    g0n = int(data_size * step) + 1
+    g1n = int(data_size * step / 2) + 1
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    g0 = jax.random.uniform(ks[0], (C, g0n, g0n), jnp.float32, -0.4, 0.5)
+    g1 = jax.random.uniform(ks[1], (C, g1n, g1n), jnp.float32, -0.4, 0.5)
+    F = C * 5 + pe * 2 + 1
+    mlp = init_mlp(ks[2], F, H, 3)
+    origins = jax.random.randint(ks[3], (crops, 2), 0, data_size - n + 1)
+    tgt = jax.nn.sigmoid(jax.random.normal(ks[4], (crops * n * n, 3)))
+
+    def features(g0g1):
+        def one(o):
+            return decoder_input(
+                (g0g1[0], g0g1[1]), 0, o, step, n, pe_channels=pe,
+                mip_level=0, ndim=2, use_tri_pe=True)
+        return jax.vmap(one)(origins).reshape(crops * n * n, F)
+
+    return g0, g1, mlp, origins, tgt, features, f
+
+
+@pytest.mark.parametrize("n,step,data_size,crops,rowsb", [
+    (8, 0.5, 32, 3, 4),     # f=2, f1=4
+    (16, 0.25, 64, 2, 8),   # f=4, f1=8 (flagship shape class)
+    (16, 1.0, 32, 2, 8),    # f=1, f1=2 (node-per-pixel mip)
+])
+def test_fused_ng_grid_grads_match_scatter(n, step, data_size, crops, rowsb):
+    """fused_mlp_loss_ng's node-resolution backward must reproduce the
+    autodiff gather+scatter grid gradients (and MLP grads/loss/out) on
+    random origins across all supported lattice classes."""
+    from nic.kernels.train_fused import fused_mlp_loss_ng
+
+    C, pe = 4, 2
+    g0, g1, mlp, origins, tgt, features, f = _ng_setup(
+        7, C, pe, n, step, data_size, crops)
+
+    def ref_loss(g0g1, m):
+        x = features(g0g1)
+        out = apply_mlp(m, x, matmul_dtype=None)
+        return jnp.mean((out - tgt) ** 2), out
+
+    (l0, o0), ((dg0_0, dg1_0), gm0) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    x = features((g0, g1))
+
+    def ng_loss(g0g1, m):
+        return fused_mlp_loss_ng(
+            g0g1[0], g0g1[1], m, jax.lax.stop_gradient(x), tgt, origins,
+            crops, n, rowsb, f, None, "erf")
+
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), ((dg0_1, dg1_1), gm1) = jax.value_and_grad(
+            ng_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    assert abs(float(l0 - l1)) / float(l0) < 1e-6
+    assert float(jnp.abs(o0 - o1).max()) < 1e-5
+    for a, b, tag in ((dg0_0, dg0_1, "dg0"), (dg1_0, dg1_1, "dg1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12))
+        assert rel < 1e-5, (tag, rel)
+    for k in gm0:
+        rel = float(jnp.abs(gm0[k] - gm1[k]).max()
+                    / (jnp.abs(gm0[k]).max() + 1e-12))
+        assert rel < 1e-5, (k, rel)
+
+
+@pytest.mark.parametrize("noise_where", ["node", "feature"])
+def test_trainer_kernel2_matches_gather(noise_where):
+    """NTCTrainer(TRAIN_FORWARD=kernel2): losses must track the gather
+    path step for step — grid grads now come from the kernel's node-space
+    backward, so a few optimizer steps agreeing bounds the whole chain
+    (gather fwd + fused fwd/bwd + unfold + Adam + clamp)."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for fwd in ("gather", "kernel2"):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+            mlp_num_dtype=16, image_path="data/sancho_512.png",
+            train_forward=fwd, qat_noise_where=noise_where,
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(5, chunk=5)
+        if fwd == "kernel2":
+            # the kernel2 gate must actually engage (not silently fall back)
+            assert tr._forward_mode == "kernel2"
+        res[fwd] = np.asarray(losses)
+    assert res["gather"][0] == pytest.approx(res["kernel2"][0], rel=1e-6)
+    np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=1e-3)
