@@ -69,9 +69,11 @@ def test_pick_block_rows():
     assert pick_block_rows(1000) == 8
 
 
-def test_trainer_kernel_mode_falls_back_under_mesh():
-    """TRAIN_FORWARD=kernel is single-device; under a mesh the trainer
-    must silently take the XLA SPMD path (identical losses to gather)."""
+@pytest.mark.parametrize("kernel_fwd", ["kernel", "kernel2"])
+def test_trainer_kernel_mode_falls_back_under_mesh(kernel_fwd):
+    """TRAIN_FORWARD=kernel/kernel2 are single-device; under a mesh the
+    trainer must silently take the XLA SPMD path (identical losses to
+    gather)."""
     from nic.cli.image_compression import load_asset
     from nic.config import CompressionConfig
     from nic.parallel.mesh import make_mesh
@@ -86,8 +88,9 @@ def test_trainer_kernel_mode_falls_back_under_mesh():
     img = load_asset(cfg("gather"))
     mesh = make_mesh(8, data_axis=8)
     with mesh:
-        tr_k = NTCTrainer(cfg("kernel"), img, mesh=mesh)
+        tr_k = NTCTrainer(cfg(kernel_fwd), img, mesh=mesh)
         losses_k, _ = tr_k.train_many(3, chunk=3)
+        assert tr_k._forward_mode == "gather"
         tr_g = NTCTrainer(cfg("gather"), img, mesh=mesh)
         losses_g, _ = tr_g.train_many(3, chunk=3)
     np.testing.assert_allclose(np.asarray(losses_k), np.asarray(losses_g),
