@@ -220,3 +220,25 @@ def test_trainer_kernel2_matches_gather(noise_where):
         res[fwd] = np.asarray(losses)
     assert res["gather"][0] == pytest.approx(res["kernel2"][0], rel=1e-6)
     np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=1e-3)
+
+
+def test_trainer_kernel2_mip_mode_matches_gather():
+    """kernel2 must compose with LOD/mip training (lax.switch branches in
+    the scan, each branch gated on its own crop geometry — ineligible
+    LODs fall back per branch)."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for fwd in ("gather", "kernel2"):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+            mlp_num_dtype=16, image_path="data/sancho_512.png",
+            train_forward=fwd, qat_noise_where="node", tf_no_mip=False,
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(6, chunk=3)
+        res[fwd] = np.asarray(losses)
+    np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=1e-3)
