@@ -242,3 +242,25 @@ def test_trainer_kernel2_mip_mode_matches_gather():
             losses, _ = tr.train_many(6, chunk=3)
         res[fwd] = np.asarray(losses)
     np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=1e-3)
+
+
+def test_trainer_kernel2_freeze_boundary_matches_gather():
+    """kernel2 across the 95% freeze boundary: the frozen phase
+    differentiates only the MLP (grid cotangents discarded) and the
+    losses must still track the gather path."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for fwd in ("gather", "kernel2"):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=40,
+            mlp_num_dtype=16, image_path="data/sancho_512.png",
+            train_forward=fwd, qat_noise_where="node",
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(40)
+        res[fwd] = np.asarray(losses)
+    np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=2e-3)
