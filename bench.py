@@ -236,13 +236,14 @@ def main() -> None:
     # BASELINE.md train table); reported separately from the fp32
     # reference-parity rate above
     train_fast = None
+    train_fast_err = None
     if on_tpu:
         try:
             train_fast = bench_train_steps(
                 mlp_num_dtype=16, train_forward="kernel2",
                 qat_noise_where="node", tf_write_psnr=False)
-        except Exception:  # pragma: no cover
-            pass
+        except Exception as e:  # pragma: no cover
+            train_fast_err = f"{type(e).__name__}: {e}"[:160]
 
     out = {
         "metric": "ntc_decode_throughput_2048px",
@@ -260,6 +261,8 @@ def main() -> None:
     }
     if train_fast is not None:
         out["train_steps_s_fast"] = round(train_fast, 2)
+    elif train_fast_err is not None:
+        out["train_steps_s_fast_note"] = train_fast_err
     out.update(result)
     print(json.dumps(out))
 

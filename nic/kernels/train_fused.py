@@ -291,19 +291,22 @@ def _impl(x, tgt, w1, b1, w2, b2, w3, b3, *, R: int, matmul_dtype,
 # ---------------------------------------------------------------------------
 
 
-def _colreduce(z, ph, f: int, ncols: int):
+def _colreduce(scr_ref, z, ph, f: int, ncols: int):
     """[rows, n, H] → [rows, ncols, H]: out[:, j] = Σ_{c: (c+ph)//f == j} z[:, c]
-    for a traced phase ``ph`` ∈ [0, f). Dense: shift by (8-ph) into an
-    8-padded buffer, then an [n', f] reshape-sum over the phase axis."""
+    for a traced phase ``ph`` ∈ [0, f). Dense: write z at static offset 8
+    into the zero-margined scratch ref, read back with a dynamic-start
+    ``pl.ds`` window (Mosaic supports dynamic starts on sublane dims —
+    ``lax.dynamic_slice`` on VALUES has no TPU lowering), then an
+    [n', f] reshape-sum over the phase axis."""
     rows, n, h = z.shape
     if f == 1:
         # every pixel col is its own node col; ph == 0 by construction
         return z[:, :ncols, :]
-    zcat = jnp.concatenate(
-        [jnp.zeros((rows, 8, h), z.dtype), z, jnp.zeros((rows, 8, h), z.dtype)],
-        axis=1,
-    )
-    zp = jax.lax.dynamic_slice(zcat, (0, 8 - ph, 0), (rows, n + 8, h))
+    scr_ref[:, 0:8, :] = jnp.zeros((rows, 8, h), z.dtype)
+    scr_ref[:, 8:8 + n, :] = z
+    scr_ref[:, 8 + n:, :] = jnp.zeros(
+        (rows, scr_ref.shape[1] - 8 - n, h), z.dtype)
+    zp = scr_ref[:, pl.ds(8 - ph, n + 8), :]
     g = zp.reshape(rows, (n + 8) // f, f, h).sum(axis=2)
     return g[:, :ncols, :]
 
@@ -337,7 +340,7 @@ def _rowreduce_g1(z, ph, f1: int, nrows: int):
 
 
 def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
-               dc1_ref, *, cd, inv_total: float, gelu: str, feat: int,
+               dc1_ref, scr_ref, *, cd, inv_total: float, gelu: str, feat: int,
                hidden: int, oc: int, lay: tuple, rowsb: int, ncols: int,
                f: int, f1: int, nr0: int, nc0: int, pc0: int, nr1: int,
                nc1: int, pc1: int):
@@ -395,8 +398,9 @@ def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
     # ---- node-resolution grid cotangents (replaces the dx writeback) ----
     z3d = dz1.reshape(rowsb, ncols, hidden)
     # G0: plain cell sums at period f
-    dp = _rowreduce_sum(_colreduce(z3d, o1 % f if f > 1 else 0, f, nc0),
-                        o0 % f if f > 1 else 0, f, nr0)
+    dp = _rowreduce_sum(
+        _colreduce(scr_ref, z3d, o1 % f if f > 1 else 0, f, nc0),
+        o0 % f if f > 1 else 0, f, nr0)
     if pc0 > nc0:
         dp = jnp.concatenate(
             [dp, jnp.zeros((nr0, pc0 - nc0, hidden), f32)], axis=1)
@@ -405,8 +409,8 @@ def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
     ph1c = o1 % f1
     cc = jax.lax.broadcasted_iota(jnp.int32, (1, ncols, 1), 1)
     fu_c = ((cc + ph1c) % f1).astype(f32) * (1.0 / f1)
-    sa = _colreduce(z3d * (1.0 - fu_c), ph1c, f1, nc1 - 1)
-    sb = _colreduce(z3d * fu_c, ph1c, f1, nc1 - 1)
+    sa = _colreduce(scr_ref, z3d * (1.0 - fu_c), ph1c, f1, nc1 - 1)
+    sb = _colreduce(scr_ref, z3d * fu_c, ph1c, f1, nc1 - 1)
     zrow = jnp.zeros((rowsb, 1, hidden), f32)
     dcol = (jnp.concatenate([sa, zrow], axis=1)
             + jnp.concatenate([zrow, sb], axis=1))      # [rowsb, nc1, H]
@@ -479,6 +483,8 @@ def _impl_ng(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
             pl.BlockSpec((1, nr1, pc1, hidden),
                          lambda c, b, org: (c * B + b, 0, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((rowsb, ncols + 16, hidden),
+                                   jnp.float32)],
     )
     out_t, gk, dp, dc1 = pl.pallas_call(
         kernel,
