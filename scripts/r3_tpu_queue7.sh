@@ -69,6 +69,9 @@ timeout 1800 python -m nic.cli.image_compression NUM_EPOCHS=20000 \
     MLP_NUM_DTYPE=16 TRAIN_FORWARD=kernel2 QAT_NOISE_WHERE=node RNG_IMPL=rbg \
     INTERVAL_PRINT=5000 >> "$LOG" 2>&1
 
+echo "--- [4b] step-overhead probe ---" >> "$LOG"
+timeout 2400 python scripts/r3_step_overhead.py >> "$LOG" 2>&1
+
 echo "--- [5/5] bench.py refresh ---" >> "$LOG"
 timeout 2400 python bench.py >> "$LOG" 2>&1
 
