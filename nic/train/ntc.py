@@ -190,12 +190,21 @@ class NTCTrainer:
         matmul_dtype = jnp.bfloat16 if mixed else None
 
         mesh = self.mesh
-        use_folded = cfg.train_forward == "folded"
+        # TRAIN_FORWARD=auto: the fused kernels evaluate the SAME value
+        # and gradients (to summation-order rounding — 320k convergence
+        # parity in BASELINE.md), so on TPU auto takes the fastest
+        # eligible kernel path; elsewhere (CPU tests, meshes) the XLA
+        # gather path.
+        forward = cfg.train_forward
+        if forward == "auto":
+            forward = ("kernel2" if jax.default_backend() == "tpu"
+                       and mesh is None else "gather")
+        use_folded = forward == "folded"
         # TRAIN_FORWARD=kernel: the gather-built [N, F] features feed one
         # fused Pallas kernel computing fwd+loss+bwd in a single pass
         # (nic.kernels.train_fused). Single-device only: under a mesh the
         # [N, F] matrix is sharded and the XLA SPMD path handles it.
-        use_kernel = cfg.train_forward in ("kernel", "kernel2") and mesh is None
+        use_kernel = forward in ("kernel", "kernel2") and mesh is None
         kernel_rows = None
         if use_kernel:
             from nic.kernels.train_fused import pick_block_rows
@@ -210,7 +219,7 @@ class NTCTrainer:
         # else falls back to the dx-writeback kernel ("kernel" mode).
         use_kernel2 = False
         k2_rowsb = k2_f = None
-        if use_kernel and cfg.train_forward == "kernel2" and ndim == 2 \
+        if use_kernel and forward == "kernel2" and ndim == 2 \
                 and not sparse_g0 and 0 < step <= 1:
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) < 1e-9:
