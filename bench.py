@@ -159,8 +159,12 @@ def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int = 32,
     from nic.config import CompressionConfig
     from nic.train.ntc import NTCTrainer
 
-    cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=mlp_num_dtype,
-                            rng_impl="rbg", **kw)
+    # the parity metric stays pinned to the gather path (TRAIN_FORWARD
+    # defaults to "auto" since round 3 — kw selects the fast variants)
+    cfg = CompressionConfig(**{"num_epochs": 10**6,
+                               "mlp_num_dtype": mlp_num_dtype,
+                               "rng_impl": "rbg",
+                               "train_forward": "gather", **kw})
     trainer = NTCTrainer(cfg, load_asset(cfg))
     # warm with the SAME chunk size so the timed call reuses the compile
     trainer.train_many(num_steps, chunk=num_steps)

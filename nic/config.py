@@ -73,7 +73,7 @@ class CompressionConfig:
     mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
     entropy_code_grids: bool = False  # rANS-code grid codes vs fixed-length packing
     tf_resume: bool = False          # resume training from the newest checkpoint
-    train_forward: str = "gather"    # "auto" (fastest eligible kernel on TPU, gather
+    train_forward: str = "auto"      # "auto" (fastest eligible kernel on TPU, gather
                                      # elsewhere — same value/grads to rounding)
                                      # | "gather" (reference-shaped [N,F] feature build)
                                      # | "folded" (first MLP layer folded into the
