@@ -339,18 +339,14 @@ def _rowreduce_g1(z, ph, f1: int, nrows: int):
     return jnp.concatenate([s[None] for s in slots], axis=0)
 
 
-def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
-               dc1_ref, scr_ref, *, cd, inv_total: float, gelu: str, feat: int,
-               hidden: int, oc: int, lay: tuple, rowsb: int, ncols: int,
-               f: int, f1: int, nr0: int, nc0: int, pc0: int, nr1: int,
-               nc1: int, pc1: int):
+def _mlp_core(x_ref, tgt_ref, pk_ref, out_ref, gk_ref, *, cd, inv_total,
+              gelu, feat, hidden, oc, lay):
+    """Shared fused MLP fwd + MSE + bwd body (the _kernel math without the
+    dx writeback); returns the first-layer preactivation cotangent dz1
+    [R, H] f32 for the caller's node-resolution grid reductions."""
     f32 = jnp.float32
     (o_w1, o_b1, o_w2, o_b2, o_w3t, o_b3, o_loss) = lay
-    crop = pl.program_id(0)
-    o0 = org_ref[crop, 0]
-    o1 = org_ref[crop, 1]
-
-    x = x_ref[:, :]                    # [R, F] f32, R = rowsb·ncols
+    x = x_ref[:, :]                    # [R, F] f32
     xb = x.astype(cd)
     pk = pk_ref[0]
     w1 = pk[o_w1:o_w1 + feat, :].astype(cd)
@@ -394,6 +390,21 @@ def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
     gk_ref[0, o_w1:o_w1 + feat, :] = jax.lax.dot_general(
         xb, dz1b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
     gk_ref[0, o_b1:o_b1 + 1, :] = jnp.sum(dz1, axis=0, keepdims=True)
+    return dz1
+
+
+def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
+               dc1_ref, scr_ref, *, cd, inv_total: float, gelu: str, feat: int,
+               hidden: int, oc: int, lay: tuple, rowsb: int, ncols: int,
+               f: int, f1: int, nr0: int, nc0: int, pc0: int, nr1: int,
+               nc1: int, pc1: int):
+    f32 = jnp.float32
+    crop = pl.program_id(0)
+    o0 = org_ref[crop, 0]
+    o1 = org_ref[crop, 1]
+    dz1 = _mlp_core(x_ref, tgt_ref, pk_ref, out_ref, gk_ref, cd=cd,
+                    inv_total=inv_total, gelu=gelu, feat=feat,
+                    hidden=hidden, oc=oc, lay=lay)
 
     # ---- node-resolution grid cotangents (replaces the dx writeback) ----
     z3d = dz1.reshape(rowsb, ncols, hidden)
@@ -625,6 +636,295 @@ def _bwd_ng(crops, ncols, rowsb, f, matmul_dtype, gelu, res, cot):
 
 
 fused_mlp_loss_ng.defvjp(_fwd_ng, _bwd_ng)
+
+
+# ---------------------------------------------------------------------------
+# 3D node-gradient variant (methods 3 and 4 — dense 8-corner or sparse
+# even-parity 4-corner G0, trilinear G1). Same structure as 2D: dz1 is
+# reduced axis-by-axis to node resolution inside VMEM. Axis order of a
+# [rowsb, n, n] block of a crop: slabs (coord 0, outer), a1 (coord 1),
+# a2 (coord 2). The a2/a1 reductions ride _colreduce (a1 with the
+# (node, H) tail merged into lanes — free contiguous reshapes); the slab
+# reduction uses the masked row adds. Slab phases are per (crop, block)
+# and computed in-kernel from program_id, so rowsb need NOT be divisible
+# by f1 — the XLA unfold places dc1 blocks at per-block dynamic bases.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
+                dc1_ref, scrA_ref, scrB_ref, scrC_ref, *, cd,
+                inv_total: float, gelu: str, feat: int, hidden: int,
+                oc: int, lay: tuple, rowsb: int, n: int, f: int, f1: int,
+                nr0: int, na0: int, pa0: int, nr1: int, na1: int, pa1: int):
+    f32 = jnp.float32
+    crop = pl.program_id(0)
+    b = pl.program_id(1)
+    o0 = org_ref[crop, 0]
+    o1 = org_ref[crop, 1]
+    o2 = org_ref[crop, 2]
+    dz1 = _mlp_core(x_ref, tgt_ref, pk_ref, out_ref, gk_ref, cd=cd,
+                    inv_total=inv_total, gelu=gelu, feat=feat,
+                    hidden=hidden, oc=oc, lay=lay)
+
+    z3 = dz1.reshape(rowsb * n, n, hidden)     # [(slab,a1), a2, H]
+    ph0 = (rowsb * b + o0) % f if f > 1 else 0
+    ph0_1 = (rowsb * b + o0) % f1
+
+    # ---- G0: plain cell sums at period f, axis by axis ----
+    ca2 = _colreduce(scrA_ref, z3, o2 % f if f > 1 else 0, f, na0)
+    v = ca2.reshape(rowsb, n, na0 * hidden)    # a1 → sublanes
+    ca1 = _colreduce(scrB_ref, v, o1 % f if f > 1 else 0, f, na0)
+    dp = _rowreduce_sum(ca1, ph0, f, nr0)      # [nr0, na0, na0·H]
+    if pa0 > na0:
+        dp = jnp.concatenate(
+            [dp, jnp.zeros((nr0, pa0 - na0, na0 * hidden), f32)], axis=1)
+    dp_ref[0] = dp
+
+    # ---- G1: trilinear-weighted sums at period f1, axis by axis ----
+    ph2_1 = o2 % f1
+    cc2 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    fu2 = ((cc2 + ph2_1) % f1).astype(f32) * (1.0 / f1)
+    sa = _colreduce(scrA_ref, z3 * (1.0 - fu2), ph2_1, f1, na1 - 1)
+    sb = _colreduce(scrA_ref, z3 * fu2, ph2_1, f1, na1 - 1)
+    zrow = jnp.zeros((rowsb * n, 1, hidden), f32)
+    d2 = (jnp.concatenate([sa, zrow], axis=1)
+          + jnp.concatenate([zrow, sb], axis=1))    # [(slab,a1), na1, H]
+    v1 = d2.reshape(rowsb, n, na1 * hidden)
+    ph1_1 = o1 % f1
+    fu1 = ((cc2 + ph1_1) % f1).astype(f32) * (1.0 / f1)
+    sa1 = _colreduce(scrC_ref, v1 * (1.0 - fu1), ph1_1, f1, na1 - 1)
+    sb1 = _colreduce(scrC_ref, v1 * fu1, ph1_1, f1, na1 - 1)
+    zrow1 = jnp.zeros((rowsb, 1, na1 * hidden), f32)
+    d1 = (jnp.concatenate([sa1, zrow1], axis=1)
+          + jnp.concatenate([zrow1, sb1], axis=1))  # [slab, na1, na1·H]
+    dc1 = _rowreduce_g1(d1, ph0_1, f1, nr1)         # [nr1, na1, na1·H]
+    if pa1 > na1:
+        dc1 = jnp.concatenate(
+            [dc1, jnp.zeros((nr1, pa1 - na1, na1 * hidden), f32)], axis=1)
+    dc1_ref[0] = dc1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crops", "n", "rowsb", "f", "sparse_g0",
+                     "matmul_dtype", "gelu"))
+def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
+              n: int, rowsb: int, f: int, sparse_g0: bool, matmul_dtype,
+              gelu: str = "erf"):
+    n_total, feat = x.shape
+    hidden = w1.shape[1]
+    oc = w3.shape[1]
+    assert oc <= 8 and oc <= hidden
+    R = rowsb * n * n
+    B = n // rowsb                      # slab blocks per crop
+    steps = crops * B
+    assert steps * R == n_total
+    f1 = 2 * f
+    nr0 = (rowsb + f - 2) // f + 1
+    na0 = (n + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    na1 = n // f1 + 2
+    pa0 = _pad8(na0)
+    pa1 = _pad8(na1)
+    cd = matmul_dtype or jnp.float32
+    f32 = jnp.float32
+    lay = _layout(feat, hidden, oc)
+
+    tgt_t = tgt.T
+    pk = jnp.zeros((lay["rows_in"], hidden), f32)
+    pk = pk.at[lay["w1"]:lay["w1"] + feat].set(w1.astype(f32))
+    pk = pk.at[lay["b1"]].set(b1.astype(f32))
+    pk = pk.at[lay["w2"]:lay["w2"] + hidden].set(w2.astype(f32))
+    pk = pk.at[lay["b2"]].set(b2.astype(f32))
+    pk = pk.at[lay["w3t"]:lay["w3t"] + oc].set(w3.astype(f32).T)
+    pk = pk.at[lay["b3"]:lay["b3"] + oc].set(
+        jnp.broadcast_to(b3.astype(f32)[:, None], (oc, hidden)))
+    pkt = jnp.tile(pk[None], (steps, 1, 1))
+
+    kernel = functools.partial(
+        _kernel_ng3, cd=cd, inv_total=1.0 / (n_total * oc), gelu=gelu,
+        feat=feat, hidden=hidden, oc=oc,
+        lay=(lay["w1"], lay["b1"], lay["w2"], lay["b2"], lay["w3t"],
+             lay["b3"], lay["loss"]),
+        rowsb=rowsb, n=n, f=f, f1=f1, nr0=nr0, na0=na0, pa0=pa0,
+        nr1=nr1, na1=na1, pa1=pa1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(crops, B),
+        in_specs=[
+            pl.BlockSpec((R, feat), lambda c, b, org: (c * B + b, 0)),
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + b)),
+            pl.BlockSpec((1, lay["rows_in"], hidden),
+                         lambda c, b, org: (c * B + b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + b)),
+            pl.BlockSpec((1, lay["rows_out"], hidden),
+                         lambda c, b, org: (c * B + b, 0, 0)),
+            pl.BlockSpec((1, nr0, pa0, na0 * hidden),
+                         lambda c, b, org: (c * B + b, 0, 0, 0)),
+            pl.BlockSpec((1, nr1, pa1, na1 * hidden),
+                         lambda c, b, org: (c * B + b, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rowsb * n, n + 16, hidden), jnp.float32),
+            pltpu.VMEM((rowsb, n + 16, na0 * hidden), jnp.float32),
+            pltpu.VMEM((rowsb, n + 16, na1 * hidden), jnp.float32),
+        ],
+    )
+    out_t, gk, dp, dc1 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((oc, n_total), f32),
+            jax.ShapeDtypeStruct((steps, lay["rows_out"], hidden), f32),
+            jax.ShapeDtypeStruct((steps, nr0, pa0, na0 * hidden), f32),
+            jax.ShapeDtypeStruct((steps, nr1, pa1, na1 * hidden), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_total * (feat * hidden + hidden * hidden
+                                 + hidden * oc),
+            bytes_accessed=(n_total * feat + 2 * n_total * oc) * 4,
+            transcendentals=0 if gelu == "poly" else 4 * n_total * hidden,
+        ),
+    )(origins.astype(jnp.int32), x, tgt_t, pkt)
+    g = jnp.sum(gk, axis=0)
+    loss = jnp.sum(gk[:, lay["loss"], 0])
+    grads = {
+        "w1": g[lay["w1"]:lay["w1"] + feat],
+        "b1": g[lay["b1"]],
+        "w2": g[lay["w2"]:lay["w2"] + hidden],
+        "b2": g[lay["b2"]],
+        "w3": g[lay["w3t"]:lay["w3t"] + oc].T,
+        "b3": g[lay["b3"]:lay["b3"] + oc, 0],
+    }
+    return loss, out_t.T, grads, dp, dc1
+
+
+# method-4 sparse G0 corner order — must match
+# nic.grids.sample.EVEN_PARITY_CORNERS_3D
+_CORNERS_3D_DENSE = tuple(
+    (a, b_, c) for a in (0, 1) for b_ in (0, 1) for c in (0, 1))
+_CORNERS_3D_SPARSE = ((0, 0, 0), (0, 1, 1), (1, 0, 1), (1, 1, 0))
+
+
+def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
+                          rowsb: int, f: int, sparse_g0: bool,
+                          g0_nodes: int, g1_nodes: int, channels: int):
+    """3D backward tail: overlap-add per-block node volumes (slab bases
+    static for dp — f | rowsb — and per-block dynamic for dc1), place
+    per-crop windows into full-grid accumulators, contract with the W1
+    feature blocks → (dG0, dG1) in grid layout [C, s, s, s]."""
+    f32 = jnp.float32
+    hidden = w1.shape[1]
+    f1 = 2 * f
+    B = n // rowsb
+    nr0 = (rowsb + f - 2) // f + 1
+    na0 = (n + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    na1 = n // f1 + 2
+    s0 = rowsb // f
+
+    dp = dp.reshape(crops, B, nr0, -1, na0, hidden)[:, :, :, :na0]
+    rows0 = (B - 1) * s0 + nr0
+    acc0 = jnp.zeros((crops, rows0, na0, na0, hidden), f32)
+    for q in range(nr0):
+        acc0 = acc0.at[:, q:q + (B - 1) * s0 + 1:s0].add(dp[:, :, q])
+
+    dc1 = dc1.reshape(crops, B, nr1, -1, na1, hidden)[:, :, :, :na1]
+    # dc1 slab bases are per (crop, block): (rowsb·b + o0)//f1 − o0//f1
+    rows1 = (n + f1 - 2) // f1 + 2
+    acc1 = jnp.zeros((crops, rows1 + nr1, na1, na1, hidden), f32)
+    for i in range(crops):
+        for b in range(B):
+            base = (rowsb * b + origins[i, 0]) // f1 - origins[i, 0] // f1
+            cur = jax.lax.dynamic_slice(
+                acc1, (i, base, 0, 0, 0), (1, nr1, na1, na1, hidden))
+            acc1 = jax.lax.dynamic_update_slice(
+                acc1, cur + dc1[i, b][None], (i, base, 0, 0, 0))
+    acc1 = acc1[:, :rows1]
+
+    P = jnp.zeros((g0_nodes + 1,) * 3 + (hidden,), f32)
+    C1 = jnp.zeros((g1_nodes + 2,) * 3 + (hidden,), f32)
+    for i in range(crops):
+        r0 = origins[i, 0] // f
+        a0 = origins[i, 1] // f
+        b0 = origins[i, 2] // f
+        cur = jax.lax.dynamic_slice(
+            P, (r0, a0, b0, 0), (rows0, na0, na0, hidden))
+        P = jax.lax.dynamic_update_slice(P, cur + acc0[i], (r0, a0, b0, 0))
+        r1 = origins[i, 0] // f1
+        a1_ = origins[i, 1] // f1
+        b1_ = origins[i, 2] // f1
+        cur1 = jax.lax.dynamic_slice(
+            C1, (r1, a1_, b1_, 0), (rows1, na1, na1, hidden))
+        C1 = jax.lax.dynamic_update_slice(
+            C1, cur1 + acc1[i], (r1, a1_, b1_, 0))
+
+    ch = channels
+    corners = _CORNERS_3D_SPARSE if sparse_g0 else _CORNERS_3D_DENSE
+    dg0 = jnp.zeros((g0_nodes + 2,) * 3 + (ch,), f32)
+    for k, (o0, o1, o2) in enumerate(corners):
+        blk = w1[k * ch:(k + 1) * ch]          # [ch, H]
+        t = jax.lax.dot_general(P, blk, (((3,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+        dg0 = dg0.at[o0:o0 + g0_nodes + 1, o1:o1 + g0_nodes + 1,
+                     o2:o2 + g0_nodes + 1].add(t)
+    dg0 = jnp.moveaxis(dg0[:g0_nodes, :g0_nodes, :g0_nodes], -1, 0)
+
+    kg1 = len(corners)
+    blk1 = w1[kg1 * ch:(kg1 + 1) * ch]
+    t1 = jax.lax.dot_general(C1, blk1, (((3,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dg1 = jnp.moveaxis(t1[:g1_nodes, :g1_nodes, :g1_nodes], -1, 0)
+    return dg0, dg1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def fused_mlp_loss_ng3(g0, g1, mlp: dict, x, tgt, origins, crops: int,
+                       n: int, rowsb: int, f: int, sparse_g0: bool,
+                       matmul_dtype=None, gelu: str = "erf"):
+    """3D :func:`fused_mlp_loss_ng`: grid gradients at node resolution
+    for n³ crops over [C, s, s, s] grids (method 3 dense-G0 / method 4
+    sparse even-parity G0). Caller must ``stop_gradient(x)``."""
+    loss, out, _, _, _ = _impl_ng3(
+        x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+        mlp["w3"], mlp["b3"], crops=crops, n=n, rowsb=rowsb, f=f,
+        sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu)
+    return loss, out
+
+
+def _fwd_ng3(g0, g1, mlp, x, tgt, origins, crops, n, rowsb, f, sparse_g0,
+             matmul_dtype, gelu):
+    loss, out, grads, dp, dc1 = _impl_ng3(
+        x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+        mlp["w3"], mlp["b3"], crops=crops, n=n, rowsb=rowsb, f=f,
+        sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu)
+    res = (grads, dp, dc1, origins, mlp["w1"], g0, g1)
+    return (loss, out), res
+
+
+def _bwd_ng3(crops, n, rowsb, f, sparse_g0, matmul_dtype, gelu, res, cot):
+    import numpy as np
+
+    (grads, dp, dc1, origins, w1, g0_res, g1_res) = res
+    g_loss, _ = cot
+    dg0, dg1 = _unfold_node_grads_3d(
+        dp, dc1, origins, w1, crops=crops, n=n, rowsb=rowsb, f=f,
+        sparse_g0=sparse_g0, g0_nodes=g0_res.shape[1],
+        g1_nodes=g1_res.shape[1], channels=g0_res.shape[0])
+    dmlp = jax.tree.map(lambda t: t * g_loss, grads)
+    feat = w1.shape[0]
+    oc = grads["w3"].shape[1]
+    n_total = crops * n * n * n
+    return (dg0 * g_loss, dg1 * g_loss, dmlp,
+            jnp.zeros((n_total, feat), jnp.float32),
+            jnp.zeros((n_total, oc), jnp.float32),
+            np.zeros(origins.shape, jax.dtypes.float0))
+
+
+fused_mlp_loss_ng3.defvjp(_fwd_ng3, _bwd_ng3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

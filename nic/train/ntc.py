@@ -219,20 +219,32 @@ class NTCTrainer:
         # else falls back to the dx-writeback kernel ("kernel" mode).
         use_kernel2 = False
         k2_rowsb = k2_f = None
-        if use_kernel and forward == "kernel2" and ndim == 2 \
-                and not sparse_g0 and 0 < step <= 1:
+        if use_kernel and forward == "kernel2" and 0 < step <= 1 \
+                and ndim in (2, 3) and not (ndim == 2 and sparse_g0):
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) < 1e-9:
                 k2_f = int(round(f_inv))
                 f1 = 2 * k2_f
-                k2_rowsb = min(max(kernel_rows // n, f1), n)
-                use_kernel2 = (
-                    f1 <= 8
-                    and n % k2_rowsb == 0
-                    and k2_rowsb % f1 == 0
-                    and (n + 8) % k2_f == 0
-                    and (n + 8) % f1 == 0
-                )
+                if ndim == 2:
+                    k2_rowsb = min(max(kernel_rows // n, f1), n)
+                    use_kernel2 = (
+                        f1 <= 8
+                        and n % k2_rowsb == 0
+                        and k2_rowsb % f1 == 0
+                        and (n + 8) % k2_f == 0
+                        and (n + 8) % f1 == 0
+                    )
+                else:
+                    # 3D (methods 3/4): slab blocks; f | rowsb only (dc1
+                    # slab bases are per-block dynamic in the unfold)
+                    k2_rowsb = min(max(kernel_rows // (n * n), k2_f), n)
+                    use_kernel2 = (
+                        f1 <= 8
+                        and n % k2_rowsb == 0
+                        and k2_rowsb % k2_f == 0
+                        and (n + 8) % k2_f == 0
+                        and (n + 8) % f1 == 0
+                    )
         # introspection for tests/debugging: which forward actually engaged
         self._forward_mode = ("kernel2" if use_kernel2 else
                               "kernel" if use_kernel else
@@ -353,18 +365,25 @@ class NTCTrainer:
 
         def loss_fn(fp, mlp, origins, noise_key):
             if use_kernel2:
-                from nic.kernels.train_fused import fused_mlp_loss_ng
+                from nic.kernels.train_fused import (fused_mlp_loss_ng,
+                                                     fused_mlp_loss_ng3)
 
                 x = gather_features(fp, origins, noise_key)
                 tgt = targets_of(origins)
                 # grid grads flow ONLY through the kernel's node-space
                 # backward; stop_gradient kills the gather VJP entirely
-                loss, out = fused_mlp_loss_ng(
-                    fp[fl * 2], fp[fl * 2 + 1], mlp,
-                    jax.lax.stop_gradient(x.astype(jnp.float32)), tgt,
-                    origins, num_crops, n, k2_rowsb, k2_f, matmul_dtype,
-                    "erf",
-                )
+                xs = jax.lax.stop_gradient(x.astype(jnp.float32))
+                if ndim == 2:
+                    loss, out = fused_mlp_loss_ng(
+                        fp[fl * 2], fp[fl * 2 + 1], mlp, xs, tgt, origins,
+                        num_crops, n, k2_rowsb, k2_f, matmul_dtype, "erf",
+                    )
+                else:
+                    loss, out = fused_mlp_loss_ng3(
+                        fp[fl * 2], fp[fl * 2 + 1], mlp, xs, tgt, origins,
+                        num_crops, n, k2_rowsb, k2_f, sparse_g0,
+                        matmul_dtype, "erf",
+                    )
                 return loss, (out, tgt)
             if use_kernel:
                 from nic.kernels.train_fused import fused_mlp_loss

@@ -264,3 +264,102 @@ def test_trainer_kernel2_freeze_boundary_matches_gather():
             losses, _ = tr.train_many(40)
         res[fwd] = np.asarray(losses)
     np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=2e-3)
+
+
+def _ng3_setup(seed, C, pe, n, step, data_size, crops, sparse, H=16):
+    from nic.grids.sample import decoder_input
+
+    f = int(round(1.0 / step))
+    g0n = int(data_size * step) + 1
+    g1n = int(data_size * step / 2) + 1
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    g0 = jax.random.uniform(ks[0], (C,) + (g0n,) * 3, jnp.float32, -0.4, 0.5)
+    g1 = jax.random.uniform(ks[1], (C,) + (g1n,) * 3, jnp.float32, -0.4, 0.5)
+    nc = 4 if sparse else 8
+    F = C * (nc + 1) + pe * 3 + 1
+    mlp = init_mlp(ks[2], F, H, 3)
+    origins = jax.random.randint(ks[3], (crops, 3), 0, data_size - n + 1)
+    tgt = jax.nn.sigmoid(jax.random.normal(ks[4], (crops * n**3, 3)))
+
+    def features(g0g1):
+        def one(o):
+            return decoder_input(
+                (g0g1[0], g0g1[1]), 0, o, step, n, pe_channels=pe,
+                mip_level=0, ndim=3, use_tri_pe=not sparse,
+                sparse_g0=sparse)
+        return jax.vmap(one)(origins).reshape(crops * n**3, F)
+
+    return g0, g1, mlp, origins, tgt, features, f
+
+
+@pytest.mark.parametrize("n,step,data_size,crops,rowsb,sparse", [
+    (8, 0.5, 32, 2, 2, False),    # f=2, f1=4 NOT | rowsb → dynamic bases
+    (8, 0.25, 32, 2, 4, False),   # f=4, f1=8 (misty shape class)
+    (8, 0.25, 32, 2, 4, True),    # method 4: sparse even-parity G0
+    (8, 1.0, 16, 2, 4, False),    # f=1 node-per-pixel
+])
+def test_fused_ng3_grid_grads_match_scatter(n, step, data_size, crops,
+                                            rowsb, sparse):
+    """3D fused_mlp_loss_ng3 vs autodiff gather+scatter: loss/out/MLP
+    grads and grid grads across dense/sparse G0, aligned and unaligned
+    slab blocks."""
+    from nic.kernels.train_fused import fused_mlp_loss_ng3
+
+    C, pe = 2, 2
+    g0, g1, mlp, origins, tgt, features, f = _ng3_setup(
+        11, C, pe, n, step, data_size, crops, sparse)
+
+    def ref_loss(g0g1, m):
+        x = features(g0g1)
+        out = apply_mlp(m, x, matmul_dtype=None)
+        return jnp.mean((out - tgt) ** 2), out
+
+    (l0, o0), ((dg0_0, dg1_0), gm0) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    x = features((g0, g1))
+
+    def ng_loss(g0g1, m):
+        return fused_mlp_loss_ng3(
+            g0g1[0], g0g1[1], m, jax.lax.stop_gradient(x), tgt, origins,
+            crops, n, rowsb, f, sparse, None, "erf")
+
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), ((dg0_1, dg1_1), gm1) = jax.value_and_grad(
+            ng_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    assert abs(float(l0 - l1)) / float(l0) < 1e-6
+    assert float(jnp.abs(o0 - o1).max()) < 1e-5
+    for a, b, tag in ((dg0_0, dg0_1, "dg0"), (dg1_0, dg1_1, "dg1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12))
+        assert rel < 1e-5, (tag, rel)
+    for k in gm0:
+        rel = float(jnp.abs(gm0[k] - gm1[k]).max()
+                    / (jnp.abs(gm0[k]).max() + 1e-12))
+        assert rel < 1e-5, (k, rel)
+
+
+@pytest.mark.parametrize("method", [3, 4])
+def test_trainer_kernel2_3d_matches_gather(method):
+    """NTCTrainer kernel2 for 3D methods 3 (dense G0) and 4 (sparse G0):
+    losses must track the gather path step for step."""
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    rng = np.random.default_rng(3)
+    vol = rng.uniform(0, 1, (3, 16, 16, 16)).astype(np.float32)
+    res = {}
+    for fwd in ("gather", "kernel2"):
+        cfg = CompressionConfig(
+            image_size=16, image_dimension=3, compression_method=method,
+            crop_mip_level=3, num_crops=2, num_epochs=50, max_mip_level=4,
+            mlp_num_dtype=16, train_forward=fwd, qat_noise_where="node",
+        )
+        tr = NTCTrainer(cfg, [vol])
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(5, chunk=5)
+        if fwd == "kernel2":
+            assert tr._forward_mode == "kernel2"
+        res[fwd] = np.asarray(losses)
+    assert res["gather"][0] == pytest.approx(res["kernel2"][0], rel=1e-6)
+    np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=1e-3)
