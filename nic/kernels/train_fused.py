@@ -651,8 +651,40 @@ fused_mlp_loss_ng.defvjp(_fwd_ng, _bwd_ng)
 # ---------------------------------------------------------------------------
 
 
+def _outerreduce_sum(z4, ph, f: int, nslots: int):
+    """[rowsb, n, C, H] → [rowsb, nslots, C, H]: slot (ri+ph)//f along the
+    OUTER axis 1 (masked adds — no sublane/lane restructuring; Mosaic
+    rejects reshapes that merge trailing dims into lanes)."""
+    rowsb, n = z4.shape[0], z4.shape[1]
+    slots = []
+    for q in range(nslots):
+        acc = jnp.zeros((rowsb,) + z4.shape[2:], z4.dtype)
+        for ri in range(n):
+            acc = acc + jnp.where((ri + ph) // f == q, z4[:, ri], 0.0)
+        slots.append(acc[:, None])
+    return jnp.concatenate(slots, axis=1)
+
+
+def _outerreduce_g1(z4, ph, f1: int, nslots: int):
+    """[rowsb, n, C, H] → [rowsb, nslots, C, H] with linear-interp weights
+    along axis 1: row ri adds (1-fu) to slot (ri+ph)//f1 and fu to the
+    next slot."""
+    rowsb, n = z4.shape[0], z4.shape[1]
+    slots = [jnp.zeros((rowsb,) + z4.shape[2:], z4.dtype)
+             for _ in range(nslots)]
+    for ri in range(n):
+        q = (ri + ph) // f1
+        fu = ((ri + ph) % f1).astype(jnp.float32) * (1.0 / f1)
+        za = (1.0 - fu) * z4[:, ri]
+        zb = fu * z4[:, ri]
+        for q_ in range(nslots):
+            slots[q_] = (slots[q_] + jnp.where(q == q_, za, 0.0)
+                         + jnp.where(q + 1 == q_, zb, 0.0))
+    return jnp.concatenate([s[:, None] for s in slots], axis=1)
+
+
 def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
-                dc1_ref, scrA_ref, scrB_ref, scrC_ref, *, cd,
+                dc1_ref, scrA_ref, *, cd,
                 inv_total: float, gelu: str, feat: int, hidden: int,
                 oc: int, lay: tuple, rowsb: int, n: int, f: int, f1: int,
                 nr0: int, na0: int, pa0: int, nr1: int, na1: int, pa1: int):
@@ -672,12 +704,12 @@ def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
 
     # ---- G0: plain cell sums at period f, axis by axis ----
     ca2 = _colreduce(scrA_ref, z3, o2 % f if f > 1 else 0, f, na0)
-    v = ca2.reshape(rowsb, n, na0 * hidden)    # a1 → sublanes
-    ca1 = _colreduce(scrB_ref, v, o1 % f if f > 1 else 0, f, na0)
-    dp = _rowreduce_sum(ca1, ph0, f, nr0)      # [nr0, na0, na0·H]
+    z4 = ca2.reshape(rowsb, n, na0, hidden)    # outer split only
+    ca1 = _outerreduce_sum(z4, o1 % f if f > 1 else 0, f, na0)
+    dp = _rowreduce_sum(ca1, ph0, f, nr0)      # [nr0, na0, na0, H]
     if pa0 > na0:
         dp = jnp.concatenate(
-            [dp, jnp.zeros((nr0, pa0 - na0, na0 * hidden), f32)], axis=1)
+            [dp, jnp.zeros((nr0, na0, pa0 - na0, hidden), f32)], axis=2)
     dp_ref[0] = dp
 
     # ---- G1: trilinear-weighted sums at period f1, axis by axis ----
@@ -689,18 +721,12 @@ def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
     zrow = jnp.zeros((rowsb * n, 1, hidden), f32)
     d2 = (jnp.concatenate([sa, zrow], axis=1)
           + jnp.concatenate([zrow, sb], axis=1))    # [(slab,a1), na1, H]
-    v1 = d2.reshape(rowsb, n, na1 * hidden)
-    ph1_1 = o1 % f1
-    fu1 = ((cc2 + ph1_1) % f1).astype(f32) * (1.0 / f1)
-    sa1 = _colreduce(scrC_ref, v1 * (1.0 - fu1), ph1_1, f1, na1 - 1)
-    sb1 = _colreduce(scrC_ref, v1 * fu1, ph1_1, f1, na1 - 1)
-    zrow1 = jnp.zeros((rowsb, 1, na1 * hidden), f32)
-    d1 = (jnp.concatenate([sa1, zrow1], axis=1)
-          + jnp.concatenate([zrow1, sb1], axis=1))  # [slab, na1, na1·H]
-    dc1 = _rowreduce_g1(d1, ph0_1, f1, nr1)         # [nr1, na1, na1·H]
+    z5 = d2.reshape(rowsb, n, na1, hidden)
+    d1 = _outerreduce_g1(z5, o1 % f1, f1, na1)      # [rowsb, na1, na1, H]
+    dc1 = _rowreduce_g1(d1, ph0_1, f1, nr1)         # [nr1, na1, na1, H]
     if pa1 > na1:
         dc1 = jnp.concatenate(
-            [dc1, jnp.zeros((nr1, pa1 - na1, na1 * hidden), f32)], axis=1)
+            [dc1, jnp.zeros((nr1, na1, pa1 - na1, hidden), f32)], axis=2)
     dc1_ref[0] = dc1
 
 
@@ -762,15 +788,13 @@ def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
             pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + b)),
             pl.BlockSpec((1, lay["rows_out"], hidden),
                          lambda c, b, org: (c * B + b, 0, 0)),
-            pl.BlockSpec((1, nr0, pa0, na0 * hidden),
-                         lambda c, b, org: (c * B + b, 0, 0, 0)),
-            pl.BlockSpec((1, nr1, pa1, na1 * hidden),
-                         lambda c, b, org: (c * B + b, 0, 0, 0)),
+            pl.BlockSpec((1, nr0, na0, pa0, hidden),
+                         lambda c, b, org: (c * B + b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, nr1, na1, pa1, hidden),
+                         lambda c, b, org: (c * B + b, 0, 0, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((rowsb * n, n + 16, hidden), jnp.float32),
-            pltpu.VMEM((rowsb, n + 16, na0 * hidden), jnp.float32),
-            pltpu.VMEM((rowsb, n + 16, na1 * hidden), jnp.float32),
         ],
     )
     out_t, gk, dp, dc1 = pl.pallas_call(
@@ -779,8 +803,8 @@ def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
         out_shape=[
             jax.ShapeDtypeStruct((oc, n_total), f32),
             jax.ShapeDtypeStruct((steps, lay["rows_out"], hidden), f32),
-            jax.ShapeDtypeStruct((steps, nr0, pa0, na0 * hidden), f32),
-            jax.ShapeDtypeStruct((steps, nr1, pa1, na1 * hidden), f32),
+            jax.ShapeDtypeStruct((steps, nr0, na0, pa0, hidden), f32),
+            jax.ShapeDtypeStruct((steps, nr1, na1, pa1, hidden), f32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * n_total * (feat * hidden + hidden * hidden
@@ -826,13 +850,14 @@ def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
     na1 = n // f1 + 2
     s0 = rowsb // f
 
-    dp = dp.reshape(crops, B, nr0, -1, na0, hidden)[:, :, :, :na0]
+    # dp: [steps, nr0, na0(a1), pa0(a2 padded), H]
+    dp = dp.reshape(crops, B, nr0, na0, -1, hidden)[:, :, :, :, :na0]
     rows0 = (B - 1) * s0 + nr0
     acc0 = jnp.zeros((crops, rows0, na0, na0, hidden), f32)
     for q in range(nr0):
         acc0 = acc0.at[:, q:q + (B - 1) * s0 + 1:s0].add(dp[:, :, q])
 
-    dc1 = dc1.reshape(crops, B, nr1, -1, na1, hidden)[:, :, :, :na1]
+    dc1 = dc1.reshape(crops, B, nr1, na1, -1, hidden)[:, :, :, :, :na1]
     # dc1 slab bases are per (crop, block): (rowsb·b + o0)//f1 − o0//f1
     rows1 = (n + f1 - 2) // f1 + 2
     acc1 = jnp.zeros((crops, rows1 + nr1, na1, na1, hidden), f32)
