@@ -651,40 +651,25 @@ fused_mlp_loss_ng.defvjp(_fwd_ng, _bwd_ng)
 # ---------------------------------------------------------------------------
 
 
-def _outerreduce_sum(z4, ph, f: int, nslots: int):
+def _outerreduce(scr_ref, z4, ph, f: int, nslots: int):
     """[rowsb, n, C, H] → [rowsb, nslots, C, H]: slot (ri+ph)//f along the
-    OUTER axis 1 (masked adds — no sublane/lane restructuring; Mosaic
-    rejects reshapes that merge trailing dims into lanes)."""
-    rowsb, n = z4.shape[0], z4.shape[1]
-    slots = []
-    for q in range(nslots):
-        acc = jnp.zeros((rowsb,) + z4.shape[2:], z4.dtype)
-        for ri in range(n):
-            acc = acc + jnp.where((ri + ph) // f == q, z4[:, ri], 0.0)
-        slots.append(acc[:, None])
-    return jnp.concatenate(slots, axis=1)
-
-
-def _outerreduce_g1(z4, ph, f1: int, nslots: int):
-    """[rowsb, n, C, H] → [rowsb, nslots, C, H] with linear-interp weights
-    along axis 1: row ri adds (1-fu) to slot (ri+ph)//f1 and fu to the
-    next slot."""
-    rowsb, n = z4.shape[0], z4.shape[1]
-    slots = [jnp.zeros((rowsb,) + z4.shape[2:], z4.dtype)
-             for _ in range(nslots)]
-    for ri in range(n):
-        q = (ri + ph) // f1
-        fu = ((ri + ph) % f1).astype(jnp.float32) * (1.0 / f1)
-        za = (1.0 - fu) * z4[:, ri]
-        zb = fu * z4[:, ri]
-        for q_ in range(nslots):
-            slots[q_] = (slots[q_] + jnp.where(q == q_, za, 0.0)
-                         + jnp.where(q + 1 == q_, zb, 0.0))
-    return jnp.concatenate([s[:, None] for s in slots], axis=1)
+    OUTER axis 1 — the _colreduce scratch trick on a rank-4 ref (dynamic
+    start on an outer dim; the reshape splits an outer dim only, which
+    Mosaic allows — per-row masked adds at n=32 crashed the compiler)."""
+    rowsb, n, c, h = z4.shape
+    if f == 1:
+        return z4[:, :nslots]
+    scr_ref[:, 0:8] = jnp.zeros((rowsb, 8, c, h), z4.dtype)
+    scr_ref[:, 8:8 + n] = z4
+    scr_ref[:, 8 + n:] = jnp.zeros(
+        (rowsb, scr_ref.shape[1] - 8 - n, c, h), z4.dtype)
+    zp = scr_ref[:, pl.ds(8 - ph, n + 8)]
+    g = zp.reshape(rowsb, (n + 8) // f, f, c, h).sum(axis=2)
+    return g[:, :nslots]
 
 
 def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
-                dc1_ref, scrA_ref, *, cd,
+                dc1_ref, scrA_ref, scrB_ref, scrC_ref, *, cd,
                 inv_total: float, gelu: str, feat: int, hidden: int,
                 oc: int, lay: tuple, rowsb: int, n: int, f: int, f1: int,
                 nr0: int, na0: int, pa0: int, nr1: int, na1: int, pa1: int):
@@ -705,7 +690,7 @@ def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
     # ---- G0: plain cell sums at period f, axis by axis ----
     ca2 = _colreduce(scrA_ref, z3, o2 % f if f > 1 else 0, f, na0)
     z4 = ca2.reshape(rowsb, n, na0, hidden)    # outer split only
-    ca1 = _outerreduce_sum(z4, o1 % f if f > 1 else 0, f, na0)
+    ca1 = _outerreduce(scrB_ref, z4, o1 % f if f > 1 else 0, f, na0)
     dp = _rowreduce_sum(ca1, ph0, f, nr0)      # [nr0, na0, na0, H]
     if pa0 > na0:
         dp = jnp.concatenate(
@@ -722,7 +707,14 @@ def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
     d2 = (jnp.concatenate([sa, zrow], axis=1)
           + jnp.concatenate([zrow, sb], axis=1))    # [(slab,a1), na1, H]
     z5 = d2.reshape(rowsb, n, na1, hidden)
-    d1 = _outerreduce_g1(z5, o1 % f1, f1, na1)      # [rowsb, na1, na1, H]
+    ph1_1 = o1 % f1
+    cc1 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1, 1), 1)
+    fu1 = ((cc1 + ph1_1) % f1).astype(f32) * (1.0 / f1)
+    ta = _outerreduce(scrC_ref, z5 * (1.0 - fu1), ph1_1, f1, na1 - 1)
+    tb = _outerreduce(scrC_ref, z5 * fu1, ph1_1, f1, na1 - 1)
+    zsl = jnp.zeros((rowsb, 1, na1, hidden), f32)
+    d1 = (jnp.concatenate([ta, zsl], axis=1)
+          + jnp.concatenate([zsl, tb], axis=1))     # [rowsb, na1, na1, H]
     dc1 = _rowreduce_g1(d1, ph0_1, f1, nr1)         # [nr1, na1, na1, H]
     if pa1 > na1:
         dc1 = jnp.concatenate(
@@ -795,6 +787,8 @@ def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((rowsb * n, n + 16, hidden), jnp.float32),
+            pltpu.VMEM((rowsb, n + 16, na0, hidden), jnp.float32),
+            pltpu.VMEM((rowsb, n + 16, na1, hidden), jnp.float32),
         ],
     )
     out_t, gk, dp, dc1 = pl.pallas_call(
@@ -848,14 +842,22 @@ def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
     na0 = (n + f - 2) // f + 1
     nr1 = (rowsb + f1 - 2) // f1 + 2
     na1 = n // f1 + 2
-    s0 = rowsb // f
 
     # dp: [steps, nr0, na0(a1), pa0(a2 padded), H]
     dp = dp.reshape(crops, B, nr0, na0, -1, hidden)[:, :, :, :, :na0]
-    rows0 = (B - 1) * s0 + nr0
-    acc0 = jnp.zeros((crops, rows0, na0, na0, hidden), f32)
-    for q in range(nr0):
-        acc0 = acc0.at[:, q:q + (B - 1) * s0 + 1:s0].add(dp[:, :, q])
+    # dp slab bases are per (crop, block) too — rowsb may be smaller than
+    # f (the per-block row cap R ≤ 2048: larger blocks crash the Mosaic
+    # compile helper), so blocks can straddle node boundaries
+    rows0 = na0
+    acc0 = jnp.zeros((crops, rows0 + nr0, na0, na0, hidden), f32)
+    for i in range(crops):
+        for b in range(B):
+            base = (rowsb * b + origins[i, 0]) // f - origins[i, 0] // f
+            cur = jax.lax.dynamic_slice(
+                acc0, (i, base, 0, 0, 0), (1, nr0, na0, na0, hidden))
+            acc0 = jax.lax.dynamic_update_slice(
+                acc0, cur + dp[i, b][None], (i, base, 0, 0, 0))
+    acc0 = acc0[:, :rows0]
 
     dc1 = dc1.reshape(crops, B, nr1, na1, -1, hidden)[:, :, :, :, :na1]
     # dc1 slab bases are per (crop, block): (rowsb·b + o0)//f1 − o0//f1

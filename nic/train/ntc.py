@@ -217,36 +217,56 @@ class NTCTrainer:
         # scatter (nic.kernels.train_fused, node-gradient section). Gated
         # to the 2D dense-G0 power-of-two lattice with step ≤ 1; anything
         # else falls back to the dx-writeback kernel ("kernel" mode).
+        def _k2_gate(crops_eff: int):
+            """kernel2 lattice-geometry gate for ``crops_eff`` crops per
+            device; returns (ok, rowsb, f)."""
+            from nic.kernels.train_fused import pick_block_rows
+
+            if not (0 < step <= 1 and ndim in (2, 3)
+                    and not (ndim == 2 and sparse_g0) and crops_eff >= 1):
+                return False, None, None
+            f_inv = 1.0 / step
+            if abs(f_inv - round(f_inv)) >= 1e-9:
+                return False, None, None
+            f = int(round(f_inv))
+            f1 = 2 * f
+            rows_cap = pick_block_rows(crops_eff * n**ndim)
+            if rows_cap is None:
+                return False, None, None
+            if ndim == 2:
+                rowsb = min(max(rows_cap // n, f1), n)
+                ok = (f1 <= 8 and n % rowsb == 0 and rowsb % f1 == 0
+                      and (n + 8) % f == 0 and (n + 8) % f1 == 0)
+            else:
+                # 3D (methods 3/4): slab blocks. Per-block rows stay ≤
+                # 2048 (R=4096 crashes the Mosaic compile helper), so
+                # rowsb may be SMALLER than f — both dp and dc1 slab
+                # bases are per-block dynamic in the unfold.
+                rowsb = min(max(rows_cap // (n * n), 1), n)
+                ok = (f1 <= 8 and rowsb >= 1 and n % rowsb == 0
+                      and (n + 8) % f == 0 and (n + 8) % f1 == 0)
+            return ok, rowsb, f
+
         use_kernel2 = False
         k2_rowsb = k2_f = None
-        if use_kernel and forward == "kernel2" and 0 < step <= 1 \
-                and ndim in (2, 3) and not (ndim == 2 and sparse_g0):
-            f_inv = 1.0 / step
-            if abs(f_inv - round(f_inv)) < 1e-9:
-                k2_f = int(round(f_inv))
-                f1 = 2 * k2_f
-                if ndim == 2:
-                    k2_rowsb = min(max(kernel_rows // n, f1), n)
-                    use_kernel2 = (
-                        f1 <= 8
-                        and n % k2_rowsb == 0
-                        and k2_rowsb % f1 == 0
-                        and (n + 8) % k2_f == 0
-                        and (n + 8) % f1 == 0
-                    )
-                else:
-                    # 3D (methods 3/4): slab blocks; f | rowsb only (dc1
-                    # slab bases are per-block dynamic in the unfold)
-                    k2_rowsb = min(max(kernel_rows // (n * n), k2_f), n)
-                    use_kernel2 = (
-                        f1 <= 8
-                        and n % k2_rowsb == 0
-                        and k2_rowsb % k2_f == 0
-                        and (n + 8) % k2_f == 0
-                        and (n + 8) % f1 == 0
-                    )
+        if use_kernel and forward == "kernel2":
+            use_kernel2, k2_rowsb, k2_f = _k2_gate(num_crops)
+        # sharded kernel2: under a mesh, shard_map the fused node-gradient
+        # kernel per device over the 'data' (crop) axis and pmean the
+        # grads over ICI — the fast train path scales across chips. The
+        # 'pixel' mesh axis (if any) duplicates compute (kernel blocks
+        # are not pixel-sharded); typical training meshes are data-only.
+        use_kernel_sharded = False
+        ks_rowsb = ks_f = None
+        data_axis_size = 1
+        if mesh is not None and forward == "kernel2":
+            data_axis_size = int(mesh.shape.get("data", 1))
+            if num_crops % data_axis_size == 0:
+                use_kernel_sharded, ks_rowsb, ks_f = _k2_gate(
+                    num_crops // data_axis_size)
         # introspection for tests/debugging: which forward actually engaged
-        self._forward_mode = ("kernel2" if use_kernel2 else
+        self._forward_mode = ("kernel2_sharded" if use_kernel_sharded else
+                              "kernel2" if use_kernel2 else
                               "kernel" if use_kernel else
                               "folded" if use_folded else "gather")
         noise_node = cfg.qat_noise_where == "node"
@@ -400,11 +420,109 @@ class NTCTrainer:
 
         tx_fp, tx_mlp = self._tx_fp, self._tx_mlp
 
+        if use_kernel_sharded:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from nic.kernels.train_fused import (fused_mlp_loss_ng,
+                                                 fused_mlp_loss_ng3)
+
+            crops_l = num_crops // data_axis_size
+            npix_l = crops_l * n**ndim
+            nfeat = cfg.decoder_input_channels
+
+            def _inner(fp, mlp, origins_l, noise_key):
+                didx = jax.lax.axis_index("data")
+
+                def local_loss(fp_, mlp_):
+                    fpc = tuple(g.astype(dtype) for g in fp_)
+                    if not frozen and noise_node:
+                        fpc = noised_grids(fpc, noise_key)
+
+                    def one(origin):
+                        return decoder_input(
+                            fpc, fl, origin, step, n,
+                            pe_channels=cfg.pe_channels, mip_level=lod,
+                            ndim=ndim, use_tri_pe=use_tri_pe,
+                            sparse_g0=sparse_g0, dtype=dtype,
+                            g1_quirk=cfg.tf_g1_quirk,
+                        )
+
+                    x = jax.vmap(one)(origins_l).reshape(npix_l, nfeat)
+                    if not frozen and not noise_node:
+                        # bit-parity with the single-device stream: draw
+                        # the full [N, F] noise and slice this device's
+                        # crop shard
+                        eps = qat_noise(
+                            noise_key, (num_crops * n**ndim, nfeat),
+                            cfg.fp_bits, jnp.float32)
+                        eps = jax.lax.dynamic_slice_in_dim(
+                            eps, didx * npix_l, npix_l, 0)
+                        x = x.astype(jnp.float32) + eps
+
+                    def tone(origin):
+                        sizes = (3,) + (n,) * ndim
+                        start = (jnp.zeros((), jnp.int32),) + tuple(origin)
+                        return jax.lax.dynamic_slice(dataset, start, sizes)
+
+                    t = jax.vmap(tone)(origins_l)
+                    tgt = jnp.moveaxis(t, 1, -1).reshape(-1, 3)
+                    xs = jax.lax.stop_gradient(x.astype(jnp.float32))
+                    if ndim == 2:
+                        loss, out = fused_mlp_loss_ng(
+                            fp_[fl * 2], fp_[fl * 2 + 1], mlp_, xs, tgt,
+                            origins_l, crops_l, n, ks_rowsb, ks_f,
+                            matmul_dtype, "erf")
+                    else:
+                        loss, out = fused_mlp_loss_ng3(
+                            fp_[fl * 2], fp_[fl * 2 + 1], mlp_, xs, tgt,
+                            origins_l, crops_l, n, ks_rowsb, ks_f,
+                            sparse_g0, matmul_dtype, "erf")
+                    return loss, (out, tgt)
+
+                if frozen:
+                    (loss, (out, tgt)), g_mlp = jax.value_and_grad(
+                        lambda m: local_loss(fp, m), has_aux=True)(mlp)
+                    grads = jax.lax.pmean(g_mlp, "data")
+                else:
+                    (loss, (out, tgt)), grads = jax.value_and_grad(
+                        local_loss, argnums=(0, 1), has_aux=True)(fp, mlp)
+                    grads = jax.lax.pmean(grads, "data")
+                return jax.lax.pmean(loss, "data"), out, tgt, grads
+
+            sharded_grads = shard_map(
+                _inner, mesh=mesh,
+                in_specs=(P(), P(), P("data"), P()),
+                out_specs=(P(), P("data"), P("data"), P()),
+                check_rep=False,
+            )
+
         def train_step(fp, mlp, opt_fp, opt_mlp, key):
             k_crop, k_noise = jax.random.split(key)
             origins = jax.random.randint(
                 k_crop, (num_crops, ndim), 0, data_size - n + 1
             )
+            if use_kernel_sharded:
+                loss, out, tgt, grads = sharded_grads(
+                    fp, mlp, origins, k_noise)
+                if frozen:
+                    upd, opt_mlp = tx_mlp.update(grads, opt_mlp, mlp)
+                    mlp = optax.apply_updates(mlp, upd)
+                else:
+                    g_fp, g_mlp = grads
+                    upd_fp, opt_fp = tx_fp.update(g_fp, opt_fp, fp)
+                    fp = optax.apply_updates(fp, upd_fp)
+                    upd_mlp, opt_mlp = tx_mlp.update(g_mlp, opt_mlp, mlp)
+                    mlp = optax.apply_updates(mlp, upd_mlp)
+                    fp = fp_lib.pyramid_clamp(fp, fl, cfg.fp_bits)
+                if cfg.tf_write_psnr:
+                    step_psnr = psnr(
+                        quantize_to_bit(out, cfg.output_bits),
+                        quantize_to_bit(tgt, cfg.output_bits),
+                    )
+                else:
+                    step_psnr = jnp.float32(jnp.nan)
+                return fp, mlp, opt_fp, opt_mlp, loss, step_psnr
             if frozen:
                 (loss, (out, tgt)), g_mlp = jax.value_and_grad(
                     lambda m: loss_fn(fp, m, origins, k_noise), has_aux=True

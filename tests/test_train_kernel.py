@@ -69,11 +69,12 @@ def test_pick_block_rows():
     assert pick_block_rows(1000) == 8
 
 
-@pytest.mark.parametrize("kernel_fwd", ["kernel", "kernel2"])
+@pytest.mark.parametrize("kernel_fwd", ["kernel"])
 def test_trainer_kernel_mode_falls_back_under_mesh(kernel_fwd):
-    """TRAIN_FORWARD=kernel/kernel2 are single-device; under a mesh the
-    trainer must silently take the XLA SPMD path (identical losses to
-    gather)."""
+    """TRAIN_FORWARD=kernel is single-device; under a mesh the trainer
+    must silently take the XLA SPMD path (identical losses to gather).
+    (kernel2 under a mesh takes the SHARDED kernel path instead — see
+    test_trainer_kernel2_sharded_matches_single.)"""
     from nic.cli.image_compression import load_asset
     from nic.config import CompressionConfig
     from nic.parallel.mesh import make_mesh
@@ -297,6 +298,8 @@ def _ng3_setup(seed, C, pe, n, step, data_size, crops, sparse, H=16):
     (8, 0.25, 32, 2, 4, False),   # f=4, f1=8 (misty shape class)
     (8, 0.25, 32, 2, 4, True),    # method 4: sparse even-parity G0
     (8, 1.0, 16, 2, 4, False),    # f=1 node-per-pixel
+    (8, 0.25, 32, 2, 2, False),   # rowsb < f (blocks straddle nodes)
+    (8, 0.25, 32, 2, 1, False),   # rowsb = 1
 ])
 def test_fused_ng3_grid_grads_match_scatter(n, step, data_size, crops,
                                             rowsb, sparse):
@@ -363,3 +366,42 @@ def test_trainer_kernel2_3d_matches_gather(method):
         res[fwd] = np.asarray(losses)
     assert res["gather"][0] == pytest.approx(res["kernel2"][0], rel=1e-6)
     np.testing.assert_allclose(res["gather"], res["kernel2"], rtol=1e-3)
+
+
+def test_trainer_kernel2_sharded_matches_single():
+    """kernel2 under a mesh shard_maps the fused kernel per device over
+    the crop axis and pmeans grads over ICI; losses must match BOTH the
+    single-device kernel2 run (same RNG stream, full-noise-then-slice
+    parity) and the meshed gather path."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.parallel.mesh import make_mesh
+    from nic.train.ntc import NTCTrainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    cfg = lambda fwd: CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+        mlp_num_dtype=16, image_path="data/sancho_512.png",
+        train_forward=fwd,
+    )
+    img = load_asset(cfg("gather"))
+
+    tr_single = NTCTrainer(cfg("kernel2"), img)
+    with pltpu.force_tpu_interpret_mode():
+        losses_single, _ = tr_single.train_many(4, chunk=4)
+    assert tr_single._forward_mode == "kernel2"
+
+    mesh = make_mesh(8, data_axis=8)
+    with mesh:
+        tr_sh = NTCTrainer(cfg("kernel2"), img, mesh=mesh)
+        with pltpu.force_tpu_interpret_mode():
+            losses_sh, _ = tr_sh.train_many(4, chunk=4)
+        assert tr_sh._forward_mode == "kernel2_sharded"
+        tr_g = NTCTrainer(cfg("gather"), img, mesh=mesh)
+        losses_g, _ = tr_g.train_many(4, chunk=4)
+
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_single), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_g), rtol=1e-3)
