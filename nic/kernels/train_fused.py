@@ -66,6 +66,14 @@ from nic.kernels.decode_fused_v2 import _GELU_POLY_C
 
 __all__ = ["fused_mlp_loss", "pick_block_rows"]
 
+# Tests may flip this to run the node-gradient kernels through the
+# CLASSIC pallas interpreter (interpret=True). The newer TPU-interpret
+# mode (pltpu.force_tpu_interpret_mode) allocates buffers through
+# io_callbacks, which DEADLOCKS when the kernel runs inside shard_map
+# across multiple interpret devices; the classic interpreter is pure
+# JAX ops and composes with shard_map.
+INTERPRET = False
+
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT2PI = 0.3989422804014327
 
@@ -434,10 +442,11 @@ def _kernel_ng(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("crops", "ncols", "rowsb", "f", "matmul_dtype", "gelu"))
+    static_argnames=("crops", "ncols", "rowsb", "f", "matmul_dtype", "gelu",
+                     "interpret"))
 def _impl_ng(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
              ncols: int, rowsb: int, f: int, matmul_dtype,
-             gelu: str = "erf"):
+             gelu: str = "erf", interpret: bool = False):
     n_total, feat = x.shape
     hidden = w1.shape[1]
     oc = w3.shape[1]
@@ -500,6 +509,7 @@ def _impl_ng(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
     out_t, gk, dp, dc1 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((oc, n_total), f32),
             jax.ShapeDtypeStruct((steps, lay["rows_out"], hidden), f32),
@@ -600,7 +610,7 @@ def fused_mlp_loss_ng(g0, g1, mlp: dict, x, tgt, origins, crops: int,
     loss, out, _, _, _ = _impl_ng(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, ncols=ncols, rowsb=rowsb, f=f,
-        matmul_dtype=matmul_dtype, gelu=gelu)
+        matmul_dtype=matmul_dtype, gelu=gelu, interpret=INTERPRET)
     return loss, out
 
 
@@ -609,7 +619,7 @@ def _fwd_ng(g0, g1, mlp, x, tgt, origins, crops, ncols, rowsb, f,
     loss, out, grads, dp, dc1 = _impl_ng(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, ncols=ncols, rowsb=rowsb, f=f,
-        matmul_dtype=matmul_dtype, gelu=gelu)
+        matmul_dtype=matmul_dtype, gelu=gelu, interpret=INTERPRET)
     # g0/g1 ride the residuals for their STATIC shapes only (same buffers,
     # no copies — they are live params anyway)
     res = (grads, dp, dc1, origins, mlp["w1"], g0, g1)
@@ -725,10 +735,10 @@ def _kernel_ng3(org_ref, x_ref, tgt_ref, pk_ref, out_ref, gk_ref, dp_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("crops", "n", "rowsb", "f", "sparse_g0",
-                     "matmul_dtype", "gelu"))
+                     "matmul_dtype", "gelu", "interpret"))
 def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
               n: int, rowsb: int, f: int, sparse_g0: bool, matmul_dtype,
-              gelu: str = "erf"):
+              gelu: str = "erf", interpret: bool = False):
     n_total, feat = x.shape
     hidden = w1.shape[1]
     oc = w3.shape[1]
@@ -794,6 +804,7 @@ def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
     out_t, gk, dp, dc1 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((oc, n_total), f32),
             jax.ShapeDtypeStruct((steps, lay["rows_out"], hidden), f32),
@@ -918,7 +929,8 @@ def fused_mlp_loss_ng3(g0, g1, mlp: dict, x, tgt, origins, crops: int,
     loss, out, _, _, _ = _impl_ng3(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, n=n, rowsb=rowsb, f=f,
-        sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu)
+        sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu,
+        interpret=INTERPRET)
     return loss, out
 
 
@@ -927,7 +939,8 @@ def _fwd_ng3(g0, g1, mlp, x, tgt, origins, crops, n, rowsb, f, sparse_g0,
     loss, out, grads, dp, dc1 = _impl_ng3(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, n=n, rowsb=rowsb, f=f,
-        sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu)
+        sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu,
+        interpret=INTERPRET)
     res = (grads, dp, dc1, origins, mlp["w1"], g0, g1)
     return (loss, out), res
 

@@ -387,19 +387,24 @@ def test_trainer_kernel2_sharded_matches_single():
     )
     img = load_asset(cfg("gather"))
 
-    tr_single = NTCTrainer(cfg("kernel2"), img)
-    with pltpu.force_tpu_interpret_mode():
+    # the classic pallas interpreter: the TPU-interpret mode's
+    # io_callback buffer allocation deadlocks inside shard_map
+    import nic.kernels.train_fused as tf
+    tf.INTERPRET = True
+    try:
+        tr_single = NTCTrainer(cfg("kernel2"), img)
         losses_single, _ = tr_single.train_many(4, chunk=4)
-    assert tr_single._forward_mode == "kernel2"
+        assert tr_single._forward_mode == "kernel2"
 
-    mesh = make_mesh(8, data_axis=8)
-    with mesh:
-        tr_sh = NTCTrainer(cfg("kernel2"), img, mesh=mesh)
-        with pltpu.force_tpu_interpret_mode():
+        mesh = make_mesh(8, data_axis=8)
+        with mesh:
+            tr_sh = NTCTrainer(cfg("kernel2"), img, mesh=mesh)
             losses_sh, _ = tr_sh.train_many(4, chunk=4)
-        assert tr_sh._forward_mode == "kernel2_sharded"
-        tr_g = NTCTrainer(cfg("gather"), img, mesh=mesh)
-        losses_g, _ = tr_g.train_many(4, chunk=4)
+            assert tr_sh._forward_mode == "kernel2_sharded"
+            tr_g = NTCTrainer(cfg("gather"), img, mesh=mesh)
+            losses_g, _ = tr_g.train_many(4, chunk=4)
+    finally:
+        tf.INTERPRET = False
 
     np.testing.assert_allclose(np.asarray(losses_sh),
                                np.asarray(losses_single), rtol=1e-5)
