@@ -236,7 +236,12 @@ class NTCTrainer:
             if ndim == 2:
                 rowsb = min(max(rows_cap // n, f1), n)
                 ok = (f1 <= 8 and n % rowsb == 0 and rowsb % f1 == 0
-                      and (n + 8) % f == 0 and (n + 8) % f1 == 0)
+                      and (n + 8) % f == 0 and (n + 8) % f1 == 0
+                      # the planar (oc, R) target/output blocks need a
+                      # 128-multiple lane dim (Pallas TPU block rule);
+                      # tiny LOD crops fall back to "kernel" mode, whose
+                      # R is always 2048 or the whole array
+                      and (rowsb * n) % 128 == 0)
             else:
                 # 3D (methods 3/4): slab blocks. Per-block rows stay ≤
                 # 2048 (R=4096 crashes the Mosaic compile helper), so
@@ -244,7 +249,8 @@ class NTCTrainer:
                 # bases are per-block dynamic in the unfold.
                 rowsb = min(max(rows_cap // (n * n), 1), n)
                 ok = (f1 <= 8 and rowsb >= 1 and n % rowsb == 0
-                      and (n + 8) % f == 0 and (n + 8) % f1 == 0)
+                      and (n + 8) % f == 0 and (n + 8) % f1 == 0
+                      and (rowsb * n * n) % 128 == 0)
             return ok, rowsb, f
 
         use_kernel2 = False
