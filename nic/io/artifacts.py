@@ -123,6 +123,8 @@ def save_compressed(
     meta["fp_bits"] = fp_bits
     meta["grid_shapes"] = shapes
     meta["entropy_coded"] = entropy_coded
+    if entropy_coded:
+        meta["rans_format"] = 2  # interleaved word-renorm lanes (rans.cpp)
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     _atomic_savez(path, **arrays)
 
@@ -155,7 +157,8 @@ def load_compressed(path: str, dtype=jnp.float32):
                 hist = z[f"hist{i}"]
                 cdf = quantize_pmf(hist / max(1, hist.sum()))[None, :]
                 codes = rans_decode(
-                    z[f"grid{i}"].tobytes(), np.zeros(count, np.int32), cdf
+                    z[f"grid{i}"].tobytes(), np.zeros(count, np.int32), cdf,
+                    legacy=meta.get("rans_format", 1) == 1,
                 ).astype(np.uint8).reshape(shape)
             else:
                 codes = unpack_bits(z[f"grid{i}"], fp_bits, count).reshape(shape)

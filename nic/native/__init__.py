@@ -71,7 +71,9 @@ def _load_rans():
     if _rans is None and os.path.exists(_RANS_PATH):
         lib = ctypes.CDLL(_RANS_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
         lib.nic_rans_encode.restype = ctypes.c_int64
         lib.nic_rans_encode.argtypes = [
             i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, u8p, ctypes.c_int64
@@ -80,6 +82,18 @@ def _load_rans():
         lib.nic_rans_decode.argtypes = [
             u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p
         ]
+        lib.nic_rans_encode_ilv.restype = ctypes.c_int64
+        lib.nic_rans_encode_ilv.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32,
+            u8p, ctypes.c_int64, i64p,
+        ]
+        lib.nic_rans_decode_ilv.restype = ctypes.c_int
+        lib.nic_rans_decode_ilv.argtypes = [
+            u8p, i64p, ctypes.c_int32, i32p, ctypes.c_int64, i32p,
+            ctypes.c_int64, u16p, i32p,
+        ]
+        lib.nic_rans_build_lut.restype = None
+        lib.nic_rans_build_lut.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, u16p]
         _rans = lib
     return _rans
 
@@ -92,42 +106,122 @@ def _i32p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def rans_encode(symbols: np.ndarray, bins: np.ndarray, cdf: np.ndarray) -> bytes:
+# stream format 2: interleaved word-renormalized lanes (rans.cpp) behind a
+# self-describing header. Format-1 (headerless scalar byte-renorm) streams
+# persist in old entropy-coded artifacts; callers with stored metadata pass
+# legacy=True explicitly, everything else auto-detects on the magic.
+_RANS2_MAGIC = b"NR2\x01"
+_RANS_LANES = 8
+
+
+def rans_encode(
+    symbols: np.ndarray, bins: np.ndarray, cdf: np.ndarray, lanes: int = _RANS_LANES
+) -> bytes:
     """rANS-encode ``symbols`` (each drawn from its ``bins`` row of the
-    int32 [n_bins, S+1] 16-bit-total ``cdf``). Native C++ with a pure-python
-    fallback (nic.io.entropy)."""
+    int32 [n_bins, S+1] 16-bit-total ``cdf``) into a format-2 stream:
+    ``b"NR2\\x01" + u8 lanes + u32le lane_len[lanes] + lane payloads``.
+    Native C++ with a pure-python fallback (nic.io.entropy), bit-identical."""
+    import struct
+
     symbols = np.ascontiguousarray(symbols, np.int32).reshape(-1)
     bins = np.ascontiguousarray(bins, np.int32).reshape(-1)
     cdf = np.ascontiguousarray(cdf, np.int32)
     lib = _load_rans()
     if lib is None:
-        from nic.io.entropy import rans_encode_py
+        from nic.io.entropy import rans_encode_ilv_py
 
-        return rans_encode_py(symbols, bins, cdf)
-    cap = symbols.size * 4 + 64
-    out = np.empty(cap, np.uint8)
-    n = lib.nic_rans_encode(
-        _i32p(symbols), _i32p(bins), symbols.size, _i32p(cdf), cdf.shape[1],
-        _u8p(out), cap,
+        payload, lens = rans_encode_ilv_py(symbols, bins, cdf, lanes)
+    else:
+        cap = symbols.size * 2 + 8 * lanes + 64
+        out = np.empty(cap, np.uint8)
+        lane_lens = np.empty(lanes, np.int64)
+        n = lib.nic_rans_encode_ilv(
+            _i32p(symbols), _i32p(bins), symbols.size, _i32p(cdf),
+            cdf.shape[1], lanes, _u8p(out), cap,
+            lane_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n < 0:
+            raise ValueError("rans encode failed (symbol out of CDF range?)")
+        payload, lens = out[:n].tobytes(), lane_lens.tolist()
+    header = _RANS2_MAGIC + struct.pack(f"<B{lanes}I", lanes, *lens)
+    return header + payload
+
+
+# cum→symbol LUT cache: one load per decoded symbol instead of a binary
+# search. Keyed by the CDF contents; bounded (tables are ≤ tens of MB).
+_LUT_CACHE: dict = {}
+
+
+def _decode_lut(cdf: np.ndarray):
+    import hashlib
+
+    key = (cdf.shape, hashlib.blake2b(cdf.tobytes(), digest_size=16).digest())
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lib = _load_rans()
+    lut = np.empty(cdf.shape[0] << 16, np.uint16)
+    lib.nic_rans_build_lut(
+        _i32p(cdf), cdf.shape[0], cdf.shape[1],
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
     )
-    if n < 0:
-        raise ValueError("rans encode failed (symbol out of CDF range?)")
-    return bytes(out[:n])
+    if len(_LUT_CACHE) >= 4:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-def rans_decode(data: bytes, bins: np.ndarray, cdf: np.ndarray) -> np.ndarray:
+def rans_decode(
+    data: bytes, bins: np.ndarray, cdf: np.ndarray, legacy: bool | None = None
+) -> np.ndarray:
+    """Decode a rANS stream. ``legacy=True`` forces the format-1 scalar
+    decoder (old persisted artifacts — nic.io.artifacts passes this from
+    the stored ``rans_format``), ``False`` requires format 2, ``None``
+    auto-detects on the format-2 magic."""
+    import struct
+
     bins = np.ascontiguousarray(bins, np.int32).reshape(-1)
     cdf = np.ascontiguousarray(cdf, np.int32)
+    if legacy is None:
+        legacy = not data.startswith(_RANS2_MAGIC)
+    elif not legacy and not data.startswith(_RANS2_MAGIC):
+        raise ValueError("rans stream lacks the format-2 header")
     lib = _load_rans()
-    if lib is None:
-        from nic.io.entropy import rans_decode_py
+    if legacy:
+        if lib is None:
+            from nic.io.entropy import rans_decode_py
 
-        return rans_decode_py(data, bins, cdf)
-    buf = np.frombuffer(data, np.uint8)
+            return rans_decode_py(data, bins, cdf)
+        buf = np.frombuffer(data, np.uint8)
+        out = np.empty(bins.size, np.int32)
+        rc = lib.nic_rans_decode(
+            _u8p(np.ascontiguousarray(buf)), buf.size, _i32p(bins), bins.size,
+            _i32p(cdf), cdf.shape[1], _i32p(out),
+        )
+        if rc != 0:
+            raise ValueError("rans decode failed")
+        return out
+    lanes = data[4]
+    lens = struct.unpack_from(f"<{lanes}I", data, 5)
+    payload = data[5 + 4 * lanes:]
+    if lib is None:
+        from nic.io.entropy import rans_decode_ilv_py
+
+        return rans_decode_ilv_py(payload, list(lens), bins, cdf)
+    off = np.zeros(lanes + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = np.ascontiguousarray(np.frombuffer(payload, np.uint8))
     out = np.empty(bins.size, np.int32)
-    rc = lib.nic_rans_decode(
-        _u8p(np.ascontiguousarray(buf)), buf.size, _i32p(bins), bins.size,
-        _i32p(cdf), cdf.shape[1], _i32p(out),
+    # the dense LUT only pays when the symbol count amortizes its build
+    # (~2^16 writes per bin); small streams use the branchless search
+    use_lut = bins.size >= cdf.shape[0] * 4096
+    lut = _decode_lut(cdf) if use_lut else None
+    rc = lib.nic_rans_decode_ilv(
+        _u8p(buf), off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lanes, _i32p(bins), bins.size, _i32p(cdf), cdf.shape[1],
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)) if use_lut
+        else ctypes.cast(None, ctypes.POINTER(ctypes.c_uint16)),
+        _i32p(out),
     )
     if rc != 0:
         raise ValueError("rans decode failed")

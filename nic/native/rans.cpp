@@ -98,3 +98,237 @@ int nic_rans_decode(const uint8_t* bytes, int64_t n_bytes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved word-renormalized rANS (stream format 2).
+//
+// Format-1 (above) is a single scalar state with byte renormalization —
+// every decoded symbol is a serial dependency on the previous one, which
+// caps host decode at ~10 Msym/s. Format-2 splits symbols round-robin
+// across L independent states (lane l owns symbols i ≡ l mod L), giving
+// the CPU L independent dependency chains to pipeline, and renormalizes
+// 16 bits at a time so each symbol does at most ONE stream read:
+//   state x ∈ [2^16, 2^32); encode emits one u16 iff x ≥ freq·2^16;
+//   decode refills one u16 iff x < 2^16.  (prob_bits = 16.)
+// Lane streams are stored back-to-back; per-lane byte lengths live in the
+// Python-side header (nic/native/__init__.py prepends b"NR2\x01").
+//
+// Decode symbol lookup: either a branchless binary search over the CDF row
+// (no mispredict stalls; the row fits in L1) or an optional dense
+// cum→symbol table (one load per symbol) built by nic_rans_build_lut —
+// the Python wrapper caches the table per CDF and uses it when the symbol
+// count amortizes the build.
+// ---------------------------------------------------------------------------
+
+namespace {
+constexpr uint32_t kWordL = 1u << 16;  // word-renorm lower bound
+
+// branchless "largest s with row[s] <= cum"; rows are monotone with
+// row[0] = 0 and row[cols-1] = 2^16, so the probe never reads past the row.
+inline int32_t find_symbol(const int32_t* row, int32_t cols, uint32_t cum) {
+    int32_t lo = 0;
+    int32_t n = cols - 1;  // number of symbols
+    // classic meta-binary search over [0, n)
+    for (int32_t step = 1 << (31 - __builtin_clz(static_cast<uint32_t>(n)));
+         step > 0; step >>= 1) {
+        int32_t cand = lo + step;
+        if (cand < n && static_cast<uint32_t>(row[cand]) <= cum) lo = cand;
+    }
+    return lo;
+}
+
+template <int LANES>
+int decode_ilv_body(const uint8_t* bytes, const int64_t* lane_off,
+                    const int32_t* bins, int64_t n, const int32_t* cdf,
+                    int64_t cdf_cols, const uint16_t* lut, int32_t* out) {
+    uint32_t x[LANES];
+    const uint8_t* p[LANES];
+    const uint8_t* pend[LANES];
+    for (int l = 0; l < LANES; ++l) {
+        p[l] = bytes + lane_off[l];
+        pend[l] = bytes + lane_off[l + 1];
+        // state flushed as two u16 words, most-significant first
+        uint32_t hi = static_cast<uint32_t>(p[l][0]) |
+                      (static_cast<uint32_t>(p[l][1]) << 8);
+        uint32_t lo = static_cast<uint32_t>(p[l][2]) |
+                      (static_cast<uint32_t>(p[l][3]) << 8);
+        x[l] = (hi << 16) | lo;
+        p[l] += 4;
+    }
+    const int64_t body = n - (n % LANES);
+    for (int64_t i = 0; i < body; i += LANES) {
+#if defined(__GNUC__)
+#pragma GCC unroll 16
+#endif
+        for (int l = 0; l < LANES; ++l) {
+            const int64_t b = bins[i + l];
+            const uint32_t cum = x[l] & 0xffffu;
+            int32_t s;
+            if (lut) {
+                s = lut[(b << 16) | cum];
+            } else {
+                s = find_symbol(cdf + b * cdf_cols, static_cast<int32_t>(cdf_cols), cum);
+            }
+            const int32_t* row = cdf + b * cdf_cols;
+            const uint32_t start = static_cast<uint32_t>(row[s]);
+            const uint32_t freq = static_cast<uint32_t>(row[s + 1]) - start;
+            out[i + l] = s;
+            x[l] = freq * (x[l] >> 16) + cum - start;
+            if (x[l] < kWordL) {
+                uint32_t w = 0;
+                if (p[l] + 1 < pend[l]) {
+                    w = static_cast<uint32_t>(p[l][0]) |
+                        (static_cast<uint32_t>(p[l][1]) << 8);
+                    p[l] += 2;
+                }
+                x[l] = (x[l] << 16) | w;
+            }
+        }
+    }
+    for (int64_t i = body; i < n; ++i) {
+        const int l = static_cast<int>(i - body);
+        const int64_t b = bins[i];
+        const uint32_t cum = x[l] & 0xffffu;
+        const int32_t* row = cdf + b * cdf_cols;
+        const int32_t s = lut ? lut[(b << 16) | cum]
+                              : find_symbol(row, static_cast<int32_t>(cdf_cols), cum);
+        const uint32_t start = static_cast<uint32_t>(row[s]);
+        const uint32_t freq = static_cast<uint32_t>(row[s + 1]) - start;
+        out[i] = s;
+        x[l] = freq * (x[l] >> 16) + cum - start;
+        if (x[l] < kWordL) {
+            uint32_t w = 0;
+            if (p[l] + 1 < pend[l]) {
+                w = static_cast<uint32_t>(p[l][0]) |
+                    (static_cast<uint32_t>(p[l][1]) << 8);
+                p[l] += 2;
+            }
+            x[l] = (x[l] << 16) | w;
+        }
+    }
+    return 0;
+}
+}  // namespace
+
+extern "C" {
+
+// Dense cum→symbol table: lut[b * 2^16 + c] = symbol s of bin b whose CDF
+// span contains c. uint16 is enough (alphabets here are ≤ a few hundred).
+void nic_rans_build_lut(const int32_t* cdf, int64_t n_bins, int64_t cdf_cols,
+                        uint16_t* lut) {
+    for (int64_t b = 0; b < n_bins; ++b) {
+        const int32_t* row = cdf + b * cdf_cols;
+        uint16_t* dst = lut + (b << 16);
+        for (int64_t s = 0; s + 1 < cdf_cols; ++s) {
+            const int32_t lo = row[s], hi = row[s + 1];
+            for (int32_t c = lo; c < hi; ++c) dst[c] = static_cast<uint16_t>(s);
+        }
+    }
+}
+
+// Encode n symbols over `lanes` interleaved states. Writes the lane streams
+// back-to-back into `out` and the per-lane byte counts into lane_lens.
+// Returns total bytes (or -1 on overflow / bad symbol).
+int64_t nic_rans_encode_ilv(const int32_t* symbols, const int32_t* bins,
+                            int64_t n, const int32_t* cdf, int64_t cdf_cols,
+                            int32_t lanes, uint8_t* out, int64_t out_cap,
+                            int64_t* lane_lens) {
+    if (lanes < 1 || lanes > 64) return -1;
+    // Single reverse pass: symbol i belongs to lane i % lanes, and within a
+    // lane the global reverse order IS the lane's reverse order — so one
+    // streaming pass over symbols/bins (cache-friendly) feeds all `lanes`
+    // independent states (pipelinable: consecutive symbols hit different
+    // states). Emitted words are buffered per lane, then written out in
+    // decode order (reversed).
+    std::vector<std::vector<uint16_t>> bufs(lanes);
+    const int64_t reserve = n / (lanes > 0 ? lanes : 1) / 2 + 16;
+    for (auto& b : bufs) b.reserve(static_cast<size_t>(reserve));
+    std::vector<uint32_t> x(lanes, kWordL);
+    for (int64_t i = n - 1; i >= 0; --i) {
+        const int32_t l = static_cast<int32_t>(i % lanes);
+        const int32_t* row = cdf + static_cast<int64_t>(bins[i]) * cdf_cols;
+        const int32_t s = symbols[i];
+        if (s < 0 || s + 1 >= cdf_cols) return -1;
+        const uint32_t start = static_cast<uint32_t>(row[s]);
+        const uint32_t freq = static_cast<uint32_t>(row[s + 1]) - start;
+        if (freq == 0) return -1;
+        uint32_t xl = x[l];
+        if (xl >= (freq << 16)) {  // at most one word out per symbol
+            bufs[l].push_back(static_cast<uint16_t>(xl & 0xffffu));
+            xl >>= 16;
+        }
+        x[l] = ((xl / freq) << 16) + (xl % freq) + start;
+    }
+    int64_t total = 0;
+    for (int32_t l = 0; l < lanes; ++l) {
+        const auto& buf = bufs[l];
+        const int64_t lane_bytes = 4 + static_cast<int64_t>(buf.size()) * 2;
+        if (total + lane_bytes > out_cap) return -1;
+        uint8_t* dst = out + total;
+        // state first (two u16, most-significant first), then the words in
+        // decode order (reverse of emission order), all little-endian u16
+        const uint32_t xl = x[l];
+        dst[0] = static_cast<uint8_t>((xl >> 16) & 0xff);
+        dst[1] = static_cast<uint8_t>((xl >> 24) & 0xff);
+        dst[2] = static_cast<uint8_t>(xl & 0xff);
+        dst[3] = static_cast<uint8_t>((xl >> 8) & 0xff);
+        dst += 4;
+        for (int64_t k = static_cast<int64_t>(buf.size()) - 1; k >= 0; --k) {
+            *dst++ = static_cast<uint8_t>(buf[k] & 0xff);
+            *dst++ = static_cast<uint8_t>(buf[k] >> 8);
+        }
+        lane_lens[l] = lane_bytes;
+        total += lane_bytes;
+    }
+    return total;
+}
+
+// lane_off: lanes+1 byte offsets into `bytes` (prefix sums of lane_lens).
+// lut may be NULL (branchless binary search per symbol instead).
+int nic_rans_decode_ilv(const uint8_t* bytes, const int64_t* lane_off,
+                        int32_t lanes, const int32_t* bins, int64_t n,
+                        const int32_t* cdf, int64_t cdf_cols,
+                        const uint16_t* lut, int32_t* out) {
+    switch (lanes) {
+        case 4:  return decode_ilv_body<4>(bytes, lane_off, bins, n, cdf, cdf_cols, lut, out);
+        case 8:  return decode_ilv_body<8>(bytes, lane_off, bins, n, cdf, cdf_cols, lut, out);
+        case 16: return decode_ilv_body<16>(bytes, lane_off, bins, n, cdf, cdf_cols, lut, out);
+        default: break;
+    }
+    // generic lane count: correct but unpipelined
+    std::vector<int64_t> off(lane_off, lane_off + lanes + 1);
+    std::vector<uint32_t> x(lanes);
+    std::vector<const uint8_t*> p(lanes), pe(lanes);
+    for (int32_t l = 0; l < lanes; ++l) {
+        p[l] = bytes + off[l];
+        pe[l] = bytes + off[l + 1];
+        uint32_t hi = p[l][0] | (static_cast<uint32_t>(p[l][1]) << 8);
+        uint32_t lo = p[l][2] | (static_cast<uint32_t>(p[l][3]) << 8);
+        x[l] = (hi << 16) | lo;
+        p[l] += 4;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t l = static_cast<int32_t>(i % lanes);
+        const int64_t b = bins[i];
+        const uint32_t cum = x[l] & 0xffffu;
+        const int32_t* row = cdf + b * cdf_cols;
+        const int32_t s = lut ? lut[(b << 16) | cum]
+                              : find_symbol(row, static_cast<int32_t>(cdf_cols), cum);
+        const uint32_t start = static_cast<uint32_t>(row[s]);
+        const uint32_t freq = static_cast<uint32_t>(row[s + 1]) - start;
+        out[i] = s;
+        x[l] = freq * (x[l] >> 16) + cum - start;
+        if (x[l] < kWordL) {
+            uint32_t w = 0;
+            if (p[l] + 1 < pe[l]) {
+                w = static_cast<uint32_t>(p[l][0]) |
+                    (static_cast<uint32_t>(p[l][1]) << 8);
+                p[l] += 2;
+            }
+            x[l] = (x[l] << 16) | w;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -254,6 +254,20 @@ class HyperpriorCodec:
         self._h_s = jax.jit(lambda z: m.apply(p, z, method=m.hyper_synthesis))
         self._g_s = jax.jit(lambda y: m.apply(p, y, method=m.synthesis))
         self._z_mu, self._z_log_s = m.apply(p, method=m.z_prior_params)
+        self._cdf_z_cache: dict[int, np.ndarray] = {}
+
+    def _cdf_z(self, max_abs: int) -> np.ndarray:
+        """Per-instance cache: the z prior's (μ, s) are fixed for a trained
+        codec, so the logistic CDF table only varies with the alphabet."""
+        hit = self._cdf_z_cache.get(max_abs)
+        if hit is None:
+            from nic.io import entropy as ec
+
+            hit = ec.logistic_cdf_table(
+                np.asarray(self._z_mu), np.asarray(self._z_log_s), max_abs
+            )
+            self._cdf_z_cache[max_abs] = hit
+        return hit
 
     def compress(self, image: np.ndarray) -> dict:
         """HWC image in [0,1] → {'y': bytes, 'z': bytes, header...}."""
@@ -273,9 +287,7 @@ class HyperpriorCodec:
         bins_y = ec.scale_bin_indices(sigma).reshape(-1)
         bytes_y = rans_encode(y_hat.reshape(-1) + a_y, bins_y, cdf_y)
 
-        cdf_z = ec.logistic_cdf_table(
-            np.asarray(self._z_mu), np.asarray(self._z_log_s), a_z
-        )
+        cdf_z = self._cdf_z(a_z)
         n_ch = z_hat.shape[-1]
         bins_z = np.tile(np.arange(n_ch, dtype=np.int32),
                          z_hat.size // n_ch)
@@ -293,9 +305,7 @@ class HyperpriorCodec:
         from nic.native import rans_decode
 
         n_ch = blob["z_shape"][-1]
-        cdf_z = ec.logistic_cdf_table(
-            np.asarray(self._z_mu), np.asarray(self._z_log_s), blob["a_z"]
-        )
+        cdf_z = self._cdf_z(blob["a_z"])
         count_z = int(np.prod(blob["z_shape"]))
         bins_z = np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
         z_hat = (rans_decode(blob["z"], bins_z, cdf_z) - blob["a_z"]).reshape(

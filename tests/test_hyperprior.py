@@ -66,9 +66,19 @@ def test_rans_roundtrip_and_native_parity():
     back = ec.rans_decode_py(blob_py, bins, cdf)
     np.testing.assert_array_equal(back, syms)
     if native.rans_available():
+        # format-2 wrapper: native encode must match the python oracle
+        # byte-for-byte, and both formats must decode (see test_entropy_ilv
+        # for the full matrix)
         blob_cc = native.rans_encode(syms, bins, cdf)
-        assert blob_cc == blob_py  # identical state machines
+        import struct
+
+        payload, lens = ec.rans_encode_ilv_py(syms, bins, cdf, 8)
+        assert blob_cc == b"NR2\x01" + struct.pack("<B8I", 8, *lens) + payload
         np.testing.assert_array_equal(native.rans_decode(blob_cc, bins, cdf), syms)
+        # legacy format-1 streams still decode through the same entry point
+        np.testing.assert_array_equal(
+            native.rans_decode(blob_py, bins, cdf, legacy=True), syms
+        )
 
 
 def test_quantized_pmf_properties():
