@@ -241,6 +241,7 @@ def main() -> None:
     # reference-parity rate above
     train_fast = None
     train_fast_err = None
+    train_mip = None
     if on_tpu:
         try:
             train_fast = bench_train_steps(
@@ -248,6 +249,15 @@ def main() -> None:
                 qat_noise_where="node", tf_write_psnr=False)
         except Exception as e:  # pragma: no cover
             train_fast_err = f"{type(e).__name__}: {e}"[:160]
+        try:
+            # mip/LOD training with the same fast config (per-LOD branches
+            # engage kernel2 where its gates hold) — the fastest measured
+            # training mode (BASELINE.md round-3 train table)
+            train_mip = bench_train_steps(
+                mlp_num_dtype=16, train_forward="kernel2",
+                qat_noise_where="node", tf_write_psnr=False, tf_no_mip=False)
+        except Exception as e:  # pragma: no cover
+            result["train_mip_note"] = f"{type(e).__name__}: {e}"[:160]
 
     out = {
         "metric": "ntc_decode_throughput_2048px",
@@ -267,6 +277,40 @@ def main() -> None:
         out["train_steps_s_fast"] = round(train_fast, 2)
     elif train_fast_err is not None:
         out["train_steps_s_fast_note"] = train_fast_err
+    if train_mip is not None:
+        out["train_steps_s_fast_mip"] = round(train_mip, 2)
+    # hyperprior codec end-to-end decode (host format-2 rANS + device
+    # transforms), when a trained checkpoint is present in this tree
+    try:
+        import os
+
+        ck = "runs/ckpt/hyperprior_lam0.018_n96_m128"
+        if on_tpu and os.path.isdir(ck):
+            from nic.io.artifacts import CheckpointManager
+            from nic.train.hyperprior import HyperpriorCodec, HyperpriorTrainer
+            from PIL import Image
+
+            newest = CheckpointManager(ck).paths_newest_first()
+            if newest:
+                tr = HyperpriorTrainer(n=96, m=128, lam=0.018, patch=64,
+                                       batch=1, seed=0)
+                tr.load_checkpoint(newest[0])
+                codec = HyperpriorCodec(tr)
+                img = np.asarray(
+                    Image.open("data/sancho_512.png").convert("RGB"),
+                    np.float32) / 255.0
+                blob = codec.compress(img)
+                codec.decompress(blob)  # warm
+                ts = []
+                for _ in range(10):
+                    t0 = time.perf_counter()
+                    codec.decompress(blob)
+                    ts.append(time.perf_counter() - t0)
+                t = float(np.median(ts))
+                px = img.shape[0] * img.shape[1]
+                out["hyperprior_decode_mpix_s_wall"] = round(px / t / 1e6, 3)
+    except Exception as e:  # pragma: no cover
+        out["hyperprior_decode_note"] = f"{type(e).__name__}: {e}"[:160]
     out.update(result)
     print(json.dumps(out))
 

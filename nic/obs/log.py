@@ -16,6 +16,7 @@ from __future__ import annotations
 import contextlib
 import csv
 import glob
+import math
 import os
 import re
 import time
@@ -80,7 +81,11 @@ class ScalarWriter:
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         value = float(value)
-        if self._tb is not None:
+        # TB chokes on non-finite scalars (torch prints "NaN or Inf found
+        # in input tensor." per point — mip-mode in-train PSNR hits +inf
+        # whenever a tiny high-LOD crop reconstructs exactly); the CSV
+        # mirror keeps the faithful value
+        if self._tb is not None and math.isfinite(value):
             self._tb.add_scalar(tag, value, step)
         if self._csv is not None:
             self._csv.writerow([tag, step, value])

@@ -307,3 +307,22 @@ def test_checkpoint_manager_fallback_list(tmp_path):
         artifacts.load_checkpoint(newest_first[0], {"w": jnp.ones((2,))})
     step, params = artifacts.load_checkpoint(newest_first[1], {"w": jnp.ones((2,))})
     assert step == 10
+
+
+def test_scalar_writer_nonfinite_scalars(tmp_path):
+    """Mip-mode in-train PSNR hits +inf on exactly-reconstructed tiny
+    crops; TB rejects non-finite points (torch warns per point), so the
+    TB sink skips them while the CSV mirror records the true value."""
+    import math
+
+    from nic.obs.log import ScalarWriter
+
+    csv_path = str(tmp_path / "s.csv")
+    w = ScalarWriter(str(tmp_path / "tb"), csv_path)
+    w.add_scalar("PSNR/epoch", float("inf"), 1)
+    w.add_scalar("PSNR/epoch", float("nan"), 2)
+    w.add_scalar("PSNR/epoch", 33.5, 3)
+    w.close()
+    rows = open(csv_path).read().strip().splitlines()
+    assert rows[1].endswith("inf") and rows[3].endswith("33.5")
+    assert math.isnan(float(rows[2].split(",")[-1]))
