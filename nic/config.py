@@ -85,6 +85,11 @@ class CompressionConfig:
                                      # gradients reduced in VMEM — no [N,F] cotangent,
                                      # no scatter; falls back to "kernel" off the
                                      # 2D power-of-two crop lattice)
+    train_gelu: str = "erf"          # GELU pair inside the fused train kernels:
+                                     # "erf" (exact, hardware transcendental) |
+                                     # "poly" (8-FMA even polynomial,
+                                     # |Δgelu| ≤ 3.6e-4, |Δgelu'| ~1e-3 — the
+                                     # decode kernel's exact-class mode)
     grid_vjp: str = "scatter"        # grid-gradient path for the train-step gather:
                                      # "scatter" (autodiff take → scatter-add) |
                                      # "dense" (hand-written phase-reshape-sum VJP,
@@ -222,6 +227,7 @@ _CLI_KEYS: dict[str, str] = {
     "DIV_SIZE": "div_size",
     "TRAIN_FORWARD": "train_forward",
     "GRID_VJP": "grid_vjp",
+    "TRAIN_GELU": "train_gelu",
     "QAT_NOISE_WHERE": "qat_noise_where",
     "PROFILE_DIR": "profile_dir",
 }

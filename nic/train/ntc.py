@@ -205,6 +205,7 @@ class NTCTrainer:
         # (nic.kernels.train_fused). Single-device only: under a mesh the
         # [N, F] matrix is sharded and the XLA SPMD path handles it.
         use_kernel = forward in ("kernel", "kernel2") and mesh is None
+        train_gelu = cfg.train_gelu
         kernel_rows = None
         if use_kernel:
             from nic.kernels.train_fused import pick_block_rows
@@ -402,13 +403,13 @@ class NTCTrainer:
                 if ndim == 2:
                     loss, out = fused_mlp_loss_ng(
                         fp[fl * 2], fp[fl * 2 + 1], mlp, xs, tgt, origins,
-                        num_crops, n, k2_rowsb, k2_f, matmul_dtype, "erf",
+                        num_crops, n, k2_rowsb, k2_f, matmul_dtype, train_gelu,
                     )
                 else:
                     loss, out = fused_mlp_loss_ng3(
                         fp[fl * 2], fp[fl * 2 + 1], mlp, xs, tgt, origins,
                         num_crops, n, k2_rowsb, k2_f, sparse_g0,
-                        matmul_dtype, "erf",
+                        matmul_dtype, train_gelu,
                     )
                 return loss, (out, tgt)
             if use_kernel:
@@ -417,7 +418,7 @@ class NTCTrainer:
                 x = gather_features(fp, origins, noise_key)
                 tgt = targets_of(origins)
                 loss, out = fused_mlp_loss(
-                    mlp, x.astype(jnp.float32), tgt, matmul_dtype
+                    mlp, x.astype(jnp.float32), tgt, matmul_dtype, train_gelu
                 )
                 return loss, (out, tgt)
             out = batch_forward(fp, mlp, origins, noise_key)
@@ -478,12 +479,12 @@ class NTCTrainer:
                         loss, out = fused_mlp_loss_ng(
                             fp_[fl * 2], fp_[fl * 2 + 1], mlp_, xs, tgt,
                             origins_l, crops_l, n, ks_rowsb, ks_f,
-                            matmul_dtype, "erf")
+                            matmul_dtype, train_gelu)
                     else:
                         loss, out = fused_mlp_loss_ng3(
                             fp_[fl * 2], fp_[fl * 2 + 1], mlp_, xs, tgt,
                             origins_l, crops_l, n, ks_rowsb, ks_f,
-                            sparse_g0, matmul_dtype, "erf")
+                            sparse_g0, matmul_dtype, train_gelu)
                     return loss, (out, tgt)
 
                 if frozen:

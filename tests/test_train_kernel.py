@@ -410,3 +410,29 @@ def test_trainer_kernel2_sharded_matches_single():
                                np.asarray(losses_single), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(losses_sh),
                                np.asarray(losses_g), rtol=1e-3)
+
+
+def test_trainer_kernel2_poly_gelu_tracks_erf():
+    """TRAIN_GELU=poly (8-FMA even-polynomial pair, no transcendentals)
+    swaps the in-kernel activation: |Δgelu| ≤ 3.6e-4, |Δgelu'| ~1e-3, so
+    per-step losses must track the erf kernel closely (not bit-equal —
+    the optimized function itself changes by the fit error)."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for gelu in ("erf", "poly"):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+            mlp_num_dtype=16, image_path="data/sancho_512.png",
+            train_forward="kernel2", qat_noise_where="node",
+            train_gelu=gelu,
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(5, chunk=5)
+        assert tr._forward_mode == "kernel2"
+        res[gelu] = np.asarray(losses)
+    np.testing.assert_allclose(res["erf"], res["poly"], rtol=2e-2)
+    assert res["poly"][-1] < res["poly"][0]  # it trains
