@@ -55,6 +55,7 @@ this).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -536,6 +537,297 @@ def _impl_ng(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
     return loss, out_t.T, grads, dp, dc1
 
 
+# ---------------------------------------------------------------------------
+# Lane-packed node-gradient variant (two row-blocks per grid step)
+#
+# With H = 64 every intermediate of _mlp_core occupies HALF of each
+# 128-lane f32 vreg, so the VPU pays full issue slots for half-empty
+# vectors and the thin [*,64] matmuls waste MXU output width. This
+# variant processes TWO CONSECUTIVE row-blocks of the same crop per grid
+# step, carrying block A in lanes 0:64 and block B in lanes 64:128 of
+# every activation:
+#   - x is packed into a [R, 256] VMEM scratch (block A at lane 0, block
+#     B at lane 128 — both section starts lane-aligned, no relayout) and
+#     multiplied by a 256-row W1 tile whose two row-sections target
+#     disjoint lane halves; zero rows make the cross terms exactly 0.
+#   - W2 is block-diagonal [128, 128]; layer 2+3, every GELU, the MSE,
+#     and the whole backward run on full 128-lane vregs — same element
+#     count, half the vreg ops.
+#   - weight-grad matmuls produce per-half grads in diagonal blocks
+#     (cross blocks are discarded in the XLA unfold; summing the two
+#     diagonal blocks IS the true grad).
+#   - the node-resolution reductions run packed too: consecutive blocks
+#     of one crop share all lattice phases (the gate guarantees
+#     rowsb ≡ 0 mod f1), so dp/dc1 come out with the two blocks in lane
+#     halves and are re-interleaved to the standard [steps, ...] layout.
+# Zero-padding contributes exact 0.0 to every dot product, so the packed
+# kernel computes the SAME math as _impl_ng; differences are pure
+# floating summation-order roundoff where the wider contraction changes
+# the backend's reduction grouping (measured: loss and out bit-equal;
+# node planes ≤ 3e-5 relative in bf16, bit-equal in fp32; weight-grad
+# cross-step sums ≤ 1.3e-7 relative). Gate: 2·hidden ≤ 128 lanes,
+# feat ≤ 128, 2·oc ≤ 8, and an even block count per crop; anything else
+# falls back to _impl_ng.
+# ---------------------------------------------------------------------------
+
+
+def _layout2(feat: int, hidden: int, oc: int) -> dict:
+    """Row offsets of the packed-by-lane-half parameter/grad tile
+    (hidden2 = 2·hidden lanes wide)."""
+    o = {}
+    o["w1"] = 0                      # 2 sections of 128 rows
+    o["b1"] = 256
+    o["w2"] = o["b1"] + 8            # block-diagonal, 2·hidden rows
+    o["b2"] = o["w2"] + 2 * hidden
+    o["w3t"] = o["b2"] + 8           # 2·oc rows
+    o["b3"] = o["w3t"] + 8
+    o["loss"] = o["b3"] + 8
+    o["rows_in"] = o["loss"]
+    o["rows_out"] = o["loss"] + 8
+    return o
+
+
+def _mlp_core2(xa_ref, xb_ref, tgta_ref, tgtb_ref, pk_ref, out_ref, gk_ref,
+               xp_ref, *, cd, inv_total, gelu, feat, hidden, oc, lay):
+    """Packed twin of _mlp_core: returns dz1p [R, 2H] f32 (lane halves =
+    the two blocks)."""
+    f32 = jnp.float32
+    (o_w1, o_b1, o_w2, o_b2, o_w3t, o_b3, o_loss) = lay
+    h2w = 2 * hidden                   # packed lane width (128)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _zero_gaps():
+        # scratch gaps multiply only zero W rows, but fresh VMEM may hold
+        # NaN bit patterns and NaN·0 = NaN — zero them once
+        rows = xp_ref.shape[0]
+        xp_ref[:, feat:128] = jnp.zeros((rows, 128 - feat), f32)
+        xp_ref[:, 128 + feat:] = jnp.zeros(
+            (rows, xp_ref.shape[1] - 128 - feat), f32)
+
+    xp_ref[:, 0:feat] = xa_ref[:, :]
+    xp_ref[:, 128:128 + feat] = xb_ref[:, :]
+    xpb = xp_ref[:, :].astype(cd)
+    pk = pk_ref[0]
+    w1 = pk[o_w1:o_w1 + 256, :].astype(cd)
+    b1 = pk[o_b1:o_b1 + 1, :]
+    w2 = pk[o_w2:o_w2 + h2w, :].astype(cd)
+    b2 = pk[o_b2:o_b2 + 1, :]
+    w3t = pk[o_w3t:o_w3t + 2 * oc, :].astype(cd)   # [2OC, 2H]
+    b3col = pk[o_b3:o_b3 + 2 * oc, 0:1]            # [2OC, 1]
+
+    z1 = jnp.dot(xpb, w1, preferred_element_type=f32) + b1     # [R, 2H]
+    h1, aux1 = _gelu_fwd(z1, gelu)
+    h1b = h1.astype(cd)
+    z2 = jnp.dot(h1b, w2, preferred_element_type=f32) + b2
+    h2, aux2 = _gelu_fwd(z2, gelu)
+    h2b = h2.astype(cd)
+    z3t = jax.lax.dot_general(
+        w3t, h2b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) + b3col                                                   # [2OC, R]
+    out = jax.nn.sigmoid(z3t)
+    tgt = jnp.concatenate([tgta_ref[:, :], tgtb_ref[:, :]], axis=0)
+    diff = out - tgt
+    out_ref[:, :] = out
+    gk_ref[0, o_loss:o_loss + 1, :] = jnp.full(
+        (1, h2w), jnp.sum(diff * diff) * inv_total, f32)
+
+    dz3t = (2.0 * inv_total) * diff * out * (1.0 - out)
+    dz3b = dz3t.astype(cd)
+    gk_ref[0, o_w3t:o_w3t + 2 * oc, :] = jax.lax.dot_general(
+        dz3b, h2b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    gk_ref[0, o_b3:o_b3 + 2 * oc, 0:1] = jnp.sum(dz3t, axis=1, keepdims=True)
+    dh2 = jax.lax.dot_general(
+        dz3b, w3t, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dz2 = dh2 * _gelu_bwd(z2, aux2, gelu)
+    dz2b = dz2.astype(cd)
+    gk_ref[0, o_w2:o_w2 + h2w, :] = jax.lax.dot_general(
+        h1b, dz2b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    gk_ref[0, o_b2:o_b2 + 1, :] = jnp.sum(dz2, axis=0, keepdims=True)
+    dh1 = jax.lax.dot_general(
+        dz2b, w2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dz1 = dh1 * _gelu_bwd(z1, aux1, gelu)
+    dz1b = dz1.astype(cd)
+    gk_ref[0, o_w1:o_w1 + 256, :] = jax.lax.dot_general(
+        xpb, dz1b, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    gk_ref[0, o_b1:o_b1 + 1, :] = jnp.sum(dz1, axis=0, keepdims=True)
+    return dz1
+
+
+def _kernel_ng2(org_ref, xa_ref, xb_ref, tgta_ref, tgtb_ref, pk_ref,
+                out_ref, gk_ref, dp_ref, dc1_ref, xp_ref, scr_ref, *, cd,
+                inv_total: float, gelu: str, feat: int, hidden: int, oc: int,
+                lay: tuple, rowsb: int, ncols: int, f: int, f1: int,
+                nr0: int, nc0: int, pc0: int, nr1: int, nc1: int, pc1: int):
+    f32 = jnp.float32
+    crop = pl.program_id(0)
+    o0 = org_ref[crop, 0]
+    o1 = org_ref[crop, 1]
+    dz1 = _mlp_core2(xa_ref, xb_ref, tgta_ref, tgtb_ref, pk_ref, out_ref,
+                     gk_ref, xp_ref, cd=cd, inv_total=inv_total, gelu=gelu,
+                     feat=feat, hidden=hidden, oc=oc, lay=lay)
+
+    # packed reductions: both lane halves are blocks of the SAME crop at
+    # row bases ≡ 0 (mod f1), so every phase below applies to both
+    h2w = 2 * hidden
+    z3d = dz1.reshape(rowsb, ncols, h2w)
+    dp = _rowreduce_sum(
+        _colreduce(scr_ref, z3d, o1 % f if f > 1 else 0, f, nc0),
+        o0 % f if f > 1 else 0, f, nr0)
+    if pc0 > nc0:
+        dp = jnp.concatenate(
+            [dp, jnp.zeros((nr0, pc0 - nc0, h2w), f32)], axis=1)
+    dp_ref[0] = dp
+    ph1c = o1 % f1
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, ncols, 1), 1)
+    fu_c = ((cc + ph1c) % f1).astype(f32) * (1.0 / f1)
+    sa = _colreduce(scr_ref, z3d * (1.0 - fu_c), ph1c, f1, nc1 - 1)
+    sb = _colreduce(scr_ref, z3d * fu_c, ph1c, f1, nc1 - 1)
+    zrow = jnp.zeros((rowsb, 1, h2w), f32)
+    dcol = (jnp.concatenate([sa, zrow], axis=1)
+            + jnp.concatenate([zrow, sb], axis=1))
+    dc1 = _rowreduce_g1(dcol, o0 % f1, f1, nr1)
+    if pc1 > nc1:
+        dc1 = jnp.concatenate(
+            [dc1, jnp.zeros((nr1, pc1 - nc1, h2w), f32)], axis=1)
+    dc1_ref[0] = dc1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crops", "ncols", "rowsb", "f", "matmul_dtype", "gelu",
+                     "interpret"))
+def _impl_ng2(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
+              ncols: int, rowsb: int, f: int, matmul_dtype,
+              gelu: str = "erf", interpret: bool = False):
+    n_total, feat = x.shape
+    hidden = w1.shape[1]
+    oc = w3.shape[1]
+    assert 2 * oc <= 8 and 2 * hidden <= 128 and feat <= 128
+    R = rowsb * ncols
+    B = (ncols * ncols) // (rowsb * ncols)
+    assert B % 2 == 0
+    B2 = B // 2
+    steps2 = crops * B2
+    assert steps2 * 2 * R == n_total
+    f1 = 2 * f
+    nr0 = (rowsb + f - 2) // f + 1
+    nc0 = (ncols + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    nc1 = ncols // f1 + 2
+    pc0 = _pad8(nc0)
+    pc1 = _pad8(nc1)
+    cd = matmul_dtype or jnp.float32
+    f32 = jnp.float32
+    h2w = 2 * hidden
+    lay = _layout2(feat, hidden, oc)
+
+    tgt_t = tgt.T
+    pk = jnp.zeros((lay["rows_in"], h2w), f32)
+    w1f = w1.astype(f32)
+    pk = pk.at[lay["w1"]:lay["w1"] + feat, :hidden].set(w1f)
+    pk = pk.at[lay["w1"] + 128:lay["w1"] + 128 + feat, hidden:].set(w1f)
+    b1f = b1.astype(f32)
+    pk = pk.at[lay["b1"], :hidden].set(b1f)
+    pk = pk.at[lay["b1"], hidden:].set(b1f)
+    w2f = w2.astype(f32)
+    pk = pk.at[lay["w2"]:lay["w2"] + hidden, :hidden].set(w2f)
+    pk = pk.at[lay["w2"] + hidden:lay["w2"] + h2w, hidden:].set(w2f)
+    b2f = b2.astype(f32)
+    pk = pk.at[lay["b2"], :hidden].set(b2f)
+    pk = pk.at[lay["b2"], hidden:].set(b2f)
+    w3tf = w3.astype(f32).T
+    pk = pk.at[lay["w3t"]:lay["w3t"] + oc, :hidden].set(w3tf)
+    pk = pk.at[lay["w3t"] + oc:lay["w3t"] + 2 * oc, hidden:].set(w3tf)
+    b3f = b3.astype(f32)
+    pk = pk.at[lay["b3"]:lay["b3"] + oc].set(
+        jnp.broadcast_to(b3f[:, None], (oc, h2w)))
+    pk = pk.at[lay["b3"] + oc:lay["b3"] + 2 * oc].set(
+        jnp.broadcast_to(b3f[:, None], (oc, h2w)))
+    pkt = jnp.tile(pk[None], (steps2, 1, 1))
+
+    kernel = functools.partial(
+        _kernel_ng2, cd=cd, inv_total=1.0 / (n_total * oc), gelu=gelu,
+        feat=feat, hidden=hidden, oc=oc,
+        lay=(lay["w1"], lay["b1"], lay["w2"], lay["b2"], lay["w3t"],
+             lay["b3"], lay["loss"]),
+        rowsb=rowsb, ncols=ncols, f=f, f1=f1, nr0=nr0, nc0=nc0, pc0=pc0,
+        nr1=nr1, nc1=nc1, pc1=pc1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(crops, B2),
+        in_specs=[
+            pl.BlockSpec((R, feat), lambda c, b, org: (c * B + 2 * b, 0)),
+            pl.BlockSpec((R, feat), lambda c, b, org: (c * B + 2 * b + 1, 0)),
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + 2 * b)),
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + 2 * b + 1)),
+            pl.BlockSpec((1, lay["rows_in"], h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * oc, R), lambda c, b, org: (0, c * B2 + b)),
+            pl.BlockSpec((1, lay["rows_out"], h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0)),
+            pl.BlockSpec((1, nr0, pc0, h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0, 0)),
+            pl.BlockSpec((1, nr1, pc1, h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 256), jnp.float32),
+            pltpu.VMEM((rowsb, ncols + 16, h2w), jnp.float32),
+        ],
+    )
+    out_p, gk, dp, dc1 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * oc, steps2 * R), f32),
+            jax.ShapeDtypeStruct((steps2, lay["rows_out"], h2w), f32),
+            jax.ShapeDtypeStruct((steps2, nr0, pc0, h2w), f32),
+            jax.ShapeDtypeStruct((steps2, nr1, pc1, h2w), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_total * (feat * hidden + hidden * hidden
+                                 + hidden * oc),
+            bytes_accessed=(n_total * feat + 2 * n_total * oc) * 4,
+            transcendentals=0 if gelu == "poly" else 4 * n_total * hidden,
+        ),
+    )(origins.astype(jnp.int32), x, x, tgt_t, tgt_t, pkt)
+    # unpack lane halves back to the standard layouts
+    out_t = jnp.stack([out_p[:oc], out_p[oc:]], axis=0)      # [2, OC, S2·R]
+    out_t = out_t.reshape(2, oc, steps2, R).transpose(1, 2, 0, 3).reshape(
+        oc, n_total)
+    g = jnp.sum(gk, axis=0)
+    loss = jnp.sum(gk[:, lay["loss"], 0])
+    grads = {
+        "w1": (g[lay["w1"]:lay["w1"] + feat, :hidden]
+               + g[lay["w1"] + 128:lay["w1"] + 128 + feat, hidden:]),
+        "b1": g[lay["b1"], :hidden] + g[lay["b1"], hidden:],
+        "w2": (g[lay["w2"]:lay["w2"] + hidden, :hidden]
+               + g[lay["w2"] + hidden:lay["w2"] + h2w, hidden:]),
+        "b2": g[lay["b2"], :hidden] + g[lay["b2"], hidden:],
+        "w3": (g[lay["w3t"]:lay["w3t"] + oc, :hidden]
+               + g[lay["w3t"] + oc:lay["w3t"] + 2 * oc, hidden:]).T,
+        "b3": (g[lay["b3"]:lay["b3"] + oc, 0]
+               + g[lay["b3"] + oc:lay["b3"] + 2 * oc, 0]),
+    }
+    dp_u = jnp.stack([dp[..., :hidden], dp[..., hidden:]], axis=1).reshape(
+        steps2 * 2, nr0, pc0, hidden)
+    dc1_u = jnp.stack([dc1[..., :hidden], dc1[..., hidden:]],
+                      axis=1).reshape(steps2 * 2, nr1, pc1, hidden)
+    return loss, out_t.T, grads, dp_u, dc1_u
+
+
+def _ng_packable(crops: int, ncols: int, rowsb: int, hidden: int,
+                 feat: int, oc: int) -> bool:
+    B = ncols // rowsb
+    return (2 * hidden <= 128 and feat <= 128 and 2 * oc <= 8
+            and B % 2 == 0
+            and not os.environ.get("NIC_NG_NO_PACK"))
+
+
 def _unfold_node_grads(dp, dc1, origins, w1, *, crops: int, ncols: int,
                        rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
                        channels: int):
@@ -606,8 +898,16 @@ def fused_mlp_loss_ng(g0, g1, mlp: dict, x, tgt, origins, crops: int,
     int32 crop origins in output-pixel units. Geometry must satisfy the
     kernel lattice gate (see trainer); semantics otherwise identical to
     :func:`fused_mlp_loss`.
+
+    Dispatches to the lane-packed two-blocks-per-step kernel
+    (:func:`_impl_ng2` — bit-identical math) whenever the geometry
+    allows (``_ng_packable``); ``NIC_NG_NO_PACK=1`` forces the unpacked
+    kernel for A/B measurement.
     """
-    loss, out, _, _, _ = _impl_ng(
+    impl = (_impl_ng2 if _ng_packable(crops, ncols, rowsb,
+                                      mlp["w1"].shape[1], mlp["w1"].shape[0],
+                                      mlp["w3"].shape[1]) else _impl_ng)
+    loss, out, _, _, _ = impl(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, ncols=ncols, rowsb=rowsb, f=f,
         matmul_dtype=matmul_dtype, gelu=gelu, interpret=INTERPRET)
@@ -616,7 +916,10 @@ def fused_mlp_loss_ng(g0, g1, mlp: dict, x, tgt, origins, crops: int,
 
 def _fwd_ng(g0, g1, mlp, x, tgt, origins, crops, ncols, rowsb, f,
             matmul_dtype, gelu):
-    loss, out, grads, dp, dc1 = _impl_ng(
+    impl = (_impl_ng2 if _ng_packable(crops, ncols, rowsb,
+                                      mlp["w1"].shape[1], mlp["w1"].shape[0],
+                                      mlp["w3"].shape[1]) else _impl_ng)
+    loss, out, grads, dp, dc1 = impl(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, ncols=ncols, rowsb=rowsb, f=f,
         matmul_dtype=matmul_dtype, gelu=gelu, interpret=INTERPRET)

@@ -436,3 +436,53 @@ def test_trainer_kernel2_poly_gelu_tracks_erf():
         res[gelu] = np.asarray(losses)
     np.testing.assert_allclose(res["erf"], res["poly"], rtol=2e-2)
     assert res["poly"][-1] < res["poly"][0]  # it trains
+
+
+@pytest.mark.parametrize("md", [None, jnp.bfloat16])
+def test_ng_packed_matches_unpacked(md):
+    """The lane-packed two-blocks-per-step kernel (_impl_ng2) must agree
+    with _impl_ng: same math, differing only by floating summation-order
+    roundoff (the wider contractions change the backend's reduction
+    grouping): loss/out observed bit-equal, node planes ≤ 1e-4 relative
+    (bit-equal in fp32), weight grads ≤ 1e-6 relative."""
+    import nic.kernels.train_fused as tf
+    from nic.models.mlp import init_mlp
+
+    C, PE, H = 12, 6, 64
+    F = C * 5 + PE * 2 + 1
+    n, crops, rowsb, f = 32, 2, 8, 4          # B = n/rowsb = 4 (even)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    mlp = init_mlp(ks[2], F, H, 3)
+    N = crops * n * n
+    x = jax.random.normal(ks[3], (N, F), jnp.float32) * 0.3
+    tgt = jax.nn.sigmoid(jax.random.normal(ks[4], (N, 3)))
+    origins = jnp.array([[0, 0], [8, 16]], jnp.int32)
+
+    kw = dict(crops=crops, ncols=n, rowsb=rowsb, f=f, matmul_dtype=md,
+              gelu="erf", interpret=True)
+    args = (x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+            mlp["w3"], mlp["b3"])
+    la, outa, ga, dpa, dca = tf._impl_ng(*args, **kw)
+    lb, outb, gb, dpb, dcb = tf._impl_ng2(*args, **kw)
+    assert float(la) == float(lb)
+    np.testing.assert_array_equal(np.asarray(outa), np.asarray(outb))
+    for pa, pb in ((dpa, dpb), (dca, dcb)):
+        pa, pb = np.asarray(pa), np.asarray(pb)
+        if md is None:
+            np.testing.assert_array_equal(pa, pb)
+        else:
+            scale = np.abs(pa).max() + 1e-12
+            assert np.abs(pa - pb).max() / scale < 1e-4
+    for k in ga:
+        da, db = np.asarray(ga[k]), np.asarray(gb[k])
+        rel = np.abs(da - db).max() / (np.abs(da).max() + 1e-12)
+        assert rel < 1e-6, (k, rel)
+
+
+def test_ng_packable_gate():
+    from nic.kernels.train_fused import _ng_packable
+
+    assert _ng_packable(8, 256, 8, 64, 73, 3)          # flagship
+    assert not _ng_packable(8, 8, 8, 64, 73, 3)        # B = 1 (odd)
+    assert not _ng_packable(8, 256, 8, 96, 73, 3)      # 2H > 128
+    assert not _ng_packable(8, 256, 8, 64, 200, 3)     # feat > 128
