@@ -85,11 +85,14 @@ class CompressionConfig:
                                      # gradients reduced in VMEM — no [N,F] cotangent,
                                      # no scatter; falls back to "kernel" off the
                                      # 2D power-of-two crop lattice)
-    train_gelu: str = "erf"          # GELU pair inside the fused train kernels:
-                                     # "erf" (exact, hardware transcendental) |
+    train_gelu: str = "poly"         # GELU pair inside the fused train kernels:
                                      # "poly" (8-FMA even polynomial,
                                      # |Δgelu| ≤ 3.6e-4, |Δgelu'| ~1e-3 — the
-                                     # decode kernel's exact-class mode)
+                                     # decode kernel's exact-class fit; default
+                                     # on the 320k convergence parity evidence:
+                                     # 41.97 dB vs erf's 41.95 / fp32's 41.96,
+                                     # BASELINE.md round-3) | "erf" (hardware
+                                     # transcendental, the conservative mode)
     grid_vjp: str = "scatter"        # grid-gradient path for the train-step gather:
                                      # "scatter" (autodiff take → scatter-add) |
                                      # "dense" (hand-written phase-reshape-sum VJP,

@@ -84,7 +84,7 @@ def test_trainer_kernel_mode_falls_back_under_mesh(kernel_fwd):
         pytest.skip("needs the 8-device virtual CPU mesh")
     cfg = lambda fwd: CompressionConfig(
         image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
-        image_path="data/sancho_512.png", train_forward=fwd,
+        image_path="data/sancho_512.png", train_forward=fwd, train_gelu="erf",
     )
     img = load_asset(cfg("gather"))
     mesh = make_mesh(8, data_axis=8)
@@ -111,7 +111,7 @@ def test_trainer_kernel_forward_matches_gather():
         cfg = CompressionConfig(
             image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
             mlp_num_dtype=16, image_path="data/sancho_512.png",
-            train_forward=fwd,
+            train_forward=fwd, train_gelu="erf",
         )
         tr = NTCTrainer(cfg, load_asset(cfg))
         with pltpu.force_tpu_interpret_mode():
@@ -210,7 +210,7 @@ def test_trainer_kernel2_matches_gather(noise_where):
         cfg = CompressionConfig(
             image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
             mlp_num_dtype=16, image_path="data/sancho_512.png",
-            train_forward=fwd, qat_noise_where=noise_where,
+            train_forward=fwd, train_gelu="erf", qat_noise_where=noise_where,
         )
         tr = NTCTrainer(cfg, load_asset(cfg))
         with pltpu.force_tpu_interpret_mode():
@@ -236,7 +236,7 @@ def test_trainer_kernel2_mip_mode_matches_gather():
         cfg = CompressionConfig(
             image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
             mlp_num_dtype=16, image_path="data/sancho_512.png",
-            train_forward=fwd, qat_noise_where="node", tf_no_mip=False,
+            train_forward=fwd, train_gelu="erf", qat_noise_where="node", tf_no_mip=False,
         )
         tr = NTCTrainer(cfg, load_asset(cfg))
         with pltpu.force_tpu_interpret_mode():
@@ -258,7 +258,7 @@ def test_trainer_kernel2_freeze_boundary_matches_gather():
         cfg = CompressionConfig(
             image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=40,
             mlp_num_dtype=16, image_path="data/sancho_512.png",
-            train_forward=fwd, qat_noise_where="node",
+            train_forward=fwd, train_gelu="erf", qat_noise_where="node",
         )
         tr = NTCTrainer(cfg, load_asset(cfg))
         with pltpu.force_tpu_interpret_mode():
@@ -356,7 +356,7 @@ def test_trainer_kernel2_3d_matches_gather(method):
         cfg = CompressionConfig(
             image_size=16, image_dimension=3, compression_method=method,
             crop_mip_level=3, num_crops=2, num_epochs=50, max_mip_level=4,
-            mlp_num_dtype=16, train_forward=fwd, qat_noise_where="node",
+            mlp_num_dtype=16, train_forward=fwd, train_gelu="erf", qat_noise_where="node",
         )
         tr = NTCTrainer(cfg, [vol])
         with pltpu.force_tpu_interpret_mode():
@@ -383,7 +383,7 @@ def test_trainer_kernel2_sharded_matches_single():
     cfg = lambda fwd: CompressionConfig(
         image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
         mlp_num_dtype=16, image_path="data/sancho_512.png",
-        train_forward=fwd,
+        train_forward=fwd, train_gelu="erf",
     )
     img = load_asset(cfg("gather"))
 
