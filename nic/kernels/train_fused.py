@@ -722,28 +722,9 @@ def _impl_ng2(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
     lay = _layout2(feat, hidden, oc)
 
     tgt_t = tgt.T
-    pk = jnp.zeros((lay["rows_in"], h2w), f32)
-    w1f = w1.astype(f32)
-    pk = pk.at[lay["w1"]:lay["w1"] + feat, :hidden].set(w1f)
-    pk = pk.at[lay["w1"] + 128:lay["w1"] + 128 + feat, hidden:].set(w1f)
-    b1f = b1.astype(f32)
-    pk = pk.at[lay["b1"], :hidden].set(b1f)
-    pk = pk.at[lay["b1"], hidden:].set(b1f)
-    w2f = w2.astype(f32)
-    pk = pk.at[lay["w2"]:lay["w2"] + hidden, :hidden].set(w2f)
-    pk = pk.at[lay["w2"] + hidden:lay["w2"] + h2w, hidden:].set(w2f)
-    b2f = b2.astype(f32)
-    pk = pk.at[lay["b2"], :hidden].set(b2f)
-    pk = pk.at[lay["b2"], hidden:].set(b2f)
-    w3tf = w3.astype(f32).T
-    pk = pk.at[lay["w3t"]:lay["w3t"] + oc, :hidden].set(w3tf)
-    pk = pk.at[lay["w3t"] + oc:lay["w3t"] + 2 * oc, hidden:].set(w3tf)
-    b3f = b3.astype(f32)
-    pk = pk.at[lay["b3"]:lay["b3"] + oc].set(
-        jnp.broadcast_to(b3f[:, None], (oc, h2w)))
-    pk = pk.at[lay["b3"] + oc:lay["b3"] + 2 * oc].set(
-        jnp.broadcast_to(b3f[:, None], (oc, h2w)))
-    pkt = jnp.tile(pk[None], (steps2, 1, 1))
+    pkt = jnp.tile(
+        _pack_params2(w1, b1, w2, b2, w3, b3, lay, feat, hidden, oc)[None],
+        (steps2, 1, 1))
 
     kernel = functools.partial(
         _kernel_ng2, cd=cd, inv_total=1.0 / (n_total * oc), gelu=gelu,
@@ -799,6 +780,47 @@ def _impl_ng2(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
     out_t = jnp.stack([out_p[:oc], out_p[oc:]], axis=0)      # [2, OC, S2·R]
     out_t = out_t.reshape(2, oc, steps2, R).transpose(1, 2, 0, 3).reshape(
         oc, n_total)
+    loss, grads = _extract_grads2(gk, lay, feat, hidden, oc)
+    dp_u = jnp.stack([dp[..., :hidden], dp[..., hidden:]], axis=1).reshape(
+        steps2 * 2, nr0, pc0, hidden)
+    dc1_u = jnp.stack([dc1[..., :hidden], dc1[..., hidden:]],
+                      axis=1).reshape(steps2 * 2, nr1, pc1, hidden)
+    return loss, out_t.T, grads, dp_u, dc1_u
+
+
+def _pack_params2(w1, b1, w2, b2, w3, b3, lay: dict, feat: int, hidden: int,
+                  oc: int) -> jnp.ndarray:
+    """Build the lane-half-packed parameter tile (see _layout2)."""
+    f32 = jnp.float32
+    h2w = 2 * hidden
+    pk = jnp.zeros((lay["rows_in"], h2w), f32)
+    w1f = w1.astype(f32)
+    pk = pk.at[lay["w1"]:lay["w1"] + feat, :hidden].set(w1f)
+    pk = pk.at[lay["w1"] + 128:lay["w1"] + 128 + feat, hidden:].set(w1f)
+    b1f = b1.astype(f32)
+    pk = pk.at[lay["b1"], :hidden].set(b1f)
+    pk = pk.at[lay["b1"], hidden:].set(b1f)
+    w2f = w2.astype(f32)
+    pk = pk.at[lay["w2"]:lay["w2"] + hidden, :hidden].set(w2f)
+    pk = pk.at[lay["w2"] + hidden:lay["w2"] + h2w, hidden:].set(w2f)
+    b2f = b2.astype(f32)
+    pk = pk.at[lay["b2"], :hidden].set(b2f)
+    pk = pk.at[lay["b2"], hidden:].set(b2f)
+    w3tf = w3.astype(f32).T
+    pk = pk.at[lay["w3t"]:lay["w3t"] + oc, :hidden].set(w3tf)
+    pk = pk.at[lay["w3t"] + oc:lay["w3t"] + 2 * oc, hidden:].set(w3tf)
+    b3f = b3.astype(f32)
+    pk = pk.at[lay["b3"]:lay["b3"] + oc].set(
+        jnp.broadcast_to(b3f[:, None], (oc, h2w)))
+    pk = pk.at[lay["b3"] + oc:lay["b3"] + 2 * oc].set(
+        jnp.broadcast_to(b3f[:, None], (oc, h2w)))
+    return pk
+
+
+def _extract_grads2(gk, lay: dict, feat: int, hidden: int, oc: int):
+    """Sum the per-step packed grad tiles and fold lane halves (the two
+    diagonal blocks) into the true grads; returns (loss, grads dict)."""
+    h2w = 2 * hidden
     g = jnp.sum(gk, axis=0)
     loss = jnp.sum(gk[:, lay["loss"], 0])
     grads = {
@@ -813,11 +835,7 @@ def _impl_ng2(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
         "b3": (g[lay["b3"]:lay["b3"] + oc, 0]
                + g[lay["b3"] + oc:lay["b3"] + 2 * oc, 0]),
     }
-    dp_u = jnp.stack([dp[..., :hidden], dp[..., hidden:]], axis=1).reshape(
-        steps2 * 2, nr0, pc0, hidden)
-    dc1_u = jnp.stack([dc1[..., :hidden], dc1[..., hidden:]],
-                      axis=1).reshape(steps2 * 2, nr1, pc1, hidden)
-    return loss, out_t.T, grads, dp_u, dc1_u
+    return loss, grads
 
 
 def _ng_packable(crops: int, ncols: int, rowsb: int, hidden: int,
@@ -1134,6 +1152,186 @@ def _impl_ng3(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
     return loss, out_t.T, grads, dp, dc1
 
 
+# ---------------------------------------------------------------------------
+# Lane-packed 3D variant: two consecutive SLAB blocks per grid step.
+#
+# The MLP math packs exactly as in 2D (_mlp_core2). The reductions differ
+# in one way: consecutive slab blocks do NOT share the frame-axis phase
+# (slab bases b·rowsb are generally not ≡ 0 mod f1 — rowsb can be as
+# small as 2), while the two minor-axis phases (o1, o2) are shared. The
+# frame-axis reducers (_rowreduce_sum/_rowreduce_g1) are slot-mask loops,
+# so they take a PER-LANE phase vector: lanes 0:H get block A's phase,
+# lanes H:2H block B's, and the jnp.where masks broadcast lane-wise —
+# the packed reduction stays one full-width pass.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_ng3_2(org_ref, xa_ref, xb_ref, tgta_ref, tgtb_ref, pk_ref,
+                  out_ref, gk_ref, dp_ref, dc1_ref, xp_ref, scrA_ref,
+                  scrB_ref, scrC_ref, *, cd, inv_total: float, gelu: str,
+                  feat: int, hidden: int, oc: int, lay: tuple, rowsb: int,
+                  n: int, f: int, f1: int, nr0: int, na0: int, pa0: int,
+                  nr1: int, na1: int, pa1: int):
+    f32 = jnp.float32
+    crop = pl.program_id(0)
+    bp = pl.program_id(1)
+    o0 = org_ref[crop, 0]
+    o1 = org_ref[crop, 1]
+    o2 = org_ref[crop, 2]
+    dz1 = _mlp_core2(xa_ref, xb_ref, tgta_ref, tgtb_ref, pk_ref, out_ref,
+                     gk_ref, xp_ref, cd=cd, inv_total=inv_total, gelu=gelu,
+                     feat=feat, hidden=hidden, oc=oc, lay=lay)
+    h2w = 2 * hidden
+
+    # per-lane slab phases (halves carry blocks 2bp and 2bp+1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h2w), 2)
+    baseA = rowsb * (2 * bp) + o0
+    baseB = rowsb * (2 * bp + 1) + o0
+    ph0 = (jnp.where(lane < hidden, baseA % f, baseB % f)
+           if f > 1 else 0)
+    ph0_1 = jnp.where(lane < hidden, baseA % f1, baseB % f1)
+
+    z3 = dz1.reshape(rowsb * n, n, h2w)
+    ca2 = _colreduce(scrA_ref, z3, o2 % f if f > 1 else 0, f, na0)
+    z4 = ca2.reshape(rowsb, n, na0, h2w)
+    ca1 = _outerreduce(scrB_ref, z4, o1 % f if f > 1 else 0, f, na0)
+    dp = _rowreduce_sum(ca1, ph0, f, nr0)          # [nr0, na0, na0, 2H]
+    if pa0 > na0:
+        dp = jnp.concatenate(
+            [dp, jnp.zeros((nr0, na0, pa0 - na0, h2w), f32)], axis=2)
+    dp_ref[0] = dp
+
+    ph2_1 = o2 % f1
+    cc2 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    fu2 = ((cc2 + ph2_1) % f1).astype(f32) * (1.0 / f1)
+    sa = _colreduce(scrA_ref, z3 * (1.0 - fu2), ph2_1, f1, na1 - 1)
+    sb = _colreduce(scrA_ref, z3 * fu2, ph2_1, f1, na1 - 1)
+    zrow = jnp.zeros((rowsb * n, 1, h2w), f32)
+    d2 = (jnp.concatenate([sa, zrow], axis=1)
+          + jnp.concatenate([zrow, sb], axis=1))
+    z5 = d2.reshape(rowsb, n, na1, h2w)
+    ph1_1 = o1 % f1
+    cc1 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1, 1), 1)
+    fu1 = ((cc1 + ph1_1) % f1).astype(f32) * (1.0 / f1)
+    ta = _outerreduce(scrC_ref, z5 * (1.0 - fu1), ph1_1, f1, na1 - 1)
+    tb = _outerreduce(scrC_ref, z5 * fu1, ph1_1, f1, na1 - 1)
+    zsl = jnp.zeros((rowsb, 1, na1, h2w), f32)
+    d1 = (jnp.concatenate([ta, zsl], axis=1)
+          + jnp.concatenate([zsl, tb], axis=1))
+    dc1 = _rowreduce_g1(d1, ph0_1, f1, nr1)
+    if pa1 > na1:
+        dc1 = jnp.concatenate(
+            [dc1, jnp.zeros((nr1, na1, pa1 - na1, h2w), f32)], axis=2)
+    dc1_ref[0] = dc1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("crops", "n", "rowsb", "f", "sparse_g0",
+                     "matmul_dtype", "gelu", "interpret"))
+def _impl_ng3_2(x, tgt, origins, w1, b1, w2, b2, w3, b3, *, crops: int,
+                n: int, rowsb: int, f: int, sparse_g0: bool, matmul_dtype,
+                gelu: str = "erf", interpret: bool = False):
+    n_total, feat = x.shape
+    hidden = w1.shape[1]
+    oc = w3.shape[1]
+    assert 2 * oc <= 8 and 2 * hidden <= 128 and feat <= 128
+    R = rowsb * n * n
+    B = n // rowsb
+    assert B % 2 == 0
+    B2 = B // 2
+    steps2 = crops * B2
+    assert steps2 * 2 * R == n_total
+    f1 = 2 * f
+    nr0 = (rowsb + f - 2) // f + 1
+    na0 = (n + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    na1 = n // f1 + 2
+    pa0 = _pad8(na0)
+    pa1 = _pad8(na1)
+    cd = matmul_dtype or jnp.float32
+    f32 = jnp.float32
+    h2w = 2 * hidden
+    lay = _layout2(feat, hidden, oc)
+
+    tgt_t = tgt.T
+    pkt = jnp.tile(
+        _pack_params2(w1, b1, w2, b2, w3, b3, lay, feat, hidden, oc)[None],
+        (steps2, 1, 1))
+
+    kernel = functools.partial(
+        _kernel_ng3_2, cd=cd, inv_total=1.0 / (n_total * oc), gelu=gelu,
+        feat=feat, hidden=hidden, oc=oc,
+        lay=(lay["w1"], lay["b1"], lay["w2"], lay["b2"], lay["w3t"],
+             lay["b3"], lay["loss"]),
+        rowsb=rowsb, n=n, f=f, f1=f1, nr0=nr0, na0=na0, pa0=pa0,
+        nr1=nr1, na1=na1, pa1=pa1,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(crops, B2),
+        in_specs=[
+            pl.BlockSpec((R, feat), lambda c, b, org: (c * B + 2 * b, 0)),
+            pl.BlockSpec((R, feat),
+                         lambda c, b, org: (c * B + 2 * b + 1, 0)),
+            pl.BlockSpec((oc, R), lambda c, b, org: (0, c * B + 2 * b)),
+            pl.BlockSpec((oc, R),
+                         lambda c, b, org: (0, c * B + 2 * b + 1)),
+            pl.BlockSpec((1, lay["rows_in"], h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * oc, R), lambda c, b, org: (0, c * B2 + b)),
+            pl.BlockSpec((1, lay["rows_out"], h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0)),
+            pl.BlockSpec((1, nr0, na0, pa0, h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, nr1, na1, pa1, h2w),
+                         lambda c, b, org: (c * B2 + b, 0, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 256), jnp.float32),
+            pltpu.VMEM((rowsb * n, n + 16, h2w), jnp.float32),
+            pltpu.VMEM((rowsb, n + 16, na0, h2w), jnp.float32),
+            pltpu.VMEM((rowsb, n + 16, na1, h2w), jnp.float32),
+        ],
+    )
+    out_p, gk, dp, dc1 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=[
+            jax.ShapeDtypeStruct((2 * oc, steps2 * R), f32),
+            jax.ShapeDtypeStruct((steps2, lay["rows_out"], h2w), f32),
+            jax.ShapeDtypeStruct((steps2, nr0, na0, pa0, h2w), f32),
+            jax.ShapeDtypeStruct((steps2, nr1, na1, pa1, h2w), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_total * (feat * hidden + hidden * hidden
+                                 + hidden * oc),
+            bytes_accessed=(n_total * feat + 2 * n_total * oc) * 4,
+            transcendentals=0 if gelu == "poly" else 4 * n_total * hidden,
+        ),
+    )(origins.astype(jnp.int32), x, x, tgt_t, tgt_t, pkt)
+    out_t = jnp.stack([out_p[:oc], out_p[oc:]], axis=0)
+    out_t = out_t.reshape(2, oc, steps2, R).transpose(1, 2, 0, 3).reshape(
+        oc, n_total)
+    loss, grads = _extract_grads2(gk, lay, feat, hidden, oc)
+    dp_u = jnp.stack([dp[..., :hidden], dp[..., hidden:]], axis=1).reshape(
+        steps2 * 2, nr0, na0, pa0, hidden)
+    dc1_u = jnp.stack([dc1[..., :hidden], dc1[..., hidden:]],
+                      axis=1).reshape(steps2 * 2, nr1, na1, pa1, hidden)
+    return loss, out_t.T, grads, dp_u, dc1_u
+
+
+def _ng3_packable(n: int, rowsb: int, hidden: int, feat: int,
+                  oc: int) -> bool:
+    B = n // rowsb
+    return (2 * hidden <= 128 and feat <= 128 and 2 * oc <= 8
+            and B % 2 == 0
+            and not os.environ.get("NIC_NG_NO_PACK"))
+
+
 # method-4 sparse G0 corner order — must match
 # nic.grids.sample.EVEN_PARITY_CORNERS_3D
 _CORNERS_3D_DENSE = tuple(
@@ -1228,8 +1426,15 @@ def fused_mlp_loss_ng3(g0, g1, mlp: dict, x, tgt, origins, crops: int,
                        matmul_dtype=None, gelu: str = "erf"):
     """3D :func:`fused_mlp_loss_ng`: grid gradients at node resolution
     for n³ crops over [C, s, s, s] grids (method 3 dense-G0 / method 4
-    sparse even-parity G0). Caller must ``stop_gradient(x)``."""
-    loss, out, _, _, _ = _impl_ng3(
+    sparse even-parity G0). Caller must ``stop_gradient(x)``.
+
+    Dispatches to the lane-packed two-slabs-per-step kernel
+    (:func:`_impl_ng3_2` — same math, per-lane slab phases) whenever the
+    geometry allows; ``NIC_NG_NO_PACK=1`` forces the unpacked kernel."""
+    impl = (_impl_ng3_2 if _ng3_packable(n, rowsb, mlp["w1"].shape[1],
+                                         mlp["w1"].shape[0],
+                                         mlp["w3"].shape[1]) else _impl_ng3)
+    loss, out, _, _, _ = impl(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, n=n, rowsb=rowsb, f=f,
         sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu,
@@ -1239,7 +1444,10 @@ def fused_mlp_loss_ng3(g0, g1, mlp: dict, x, tgt, origins, crops: int,
 
 def _fwd_ng3(g0, g1, mlp, x, tgt, origins, crops, n, rowsb, f, sparse_g0,
              matmul_dtype, gelu):
-    loss, out, grads, dp, dc1 = _impl_ng3(
+    impl = (_impl_ng3_2 if _ng3_packable(n, rowsb, mlp["w1"].shape[1],
+                                         mlp["w1"].shape[0],
+                                         mlp["w3"].shape[1]) else _impl_ng3)
+    loss, out, grads, dp, dc1 = impl(
         x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
         mlp["w3"], mlp["b3"], crops=crops, n=n, rowsb=rowsb, f=f,
         sparse_g0=sparse_g0, matmul_dtype=matmul_dtype, gelu=gelu,

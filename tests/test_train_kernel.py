@@ -486,3 +486,41 @@ def test_ng_packable_gate():
     assert not _ng_packable(8, 8, 8, 64, 73, 3)        # B = 1 (odd)
     assert not _ng_packable(8, 256, 8, 96, 73, 3)      # 2H > 128
     assert not _ng_packable(8, 256, 8, 64, 200, 3)     # feat > 128
+
+
+@pytest.mark.parametrize("sparse,md", [
+    (False, None), (False, jnp.bfloat16), (True, None), (True, jnp.bfloat16),
+])
+def test_ng3_packed_matches_unpacked(sparse, md):
+    """3D lane-packed kernel (_impl_ng3_2, two slab blocks per step with
+    per-lane slab phases) vs _impl_ng3: same math to roundoff (the wider
+    contractions change the backend's reduction grouping)."""
+    import nic.kernels.train_fused as tf
+    from nic.models.mlp import init_mlp
+
+    C, PE, H = 4, 2, 16
+    n, crops, rowsb, f = 8, 2, 2, 2            # B = 4 (even)
+    nc = 4 if sparse else 8
+    F = C * (nc + 1) + PE * 3 + 1
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    mlp = init_mlp(ks[2], F, H, 3)
+    N = crops * n**3
+    x = jax.random.normal(ks[3], (N, F), jnp.float32) * 0.3
+    tgt = jax.nn.sigmoid(jax.random.normal(ks[4], (N, 3)))
+    origins = jnp.array([[0, 0, 0], [2, 4, 6]], jnp.int32)
+    kw = dict(crops=crops, n=n, rowsb=rowsb, f=f, sparse_g0=sparse,
+              matmul_dtype=md, gelu="erf", interpret=True)
+    args = (x, tgt, origins, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"],
+            mlp["w3"], mlp["b3"])
+    la, outa, ga, dpa, dca = tf._impl_ng3(*args, **kw)
+    lb, outb, gb, dpb, dcb = tf._impl_ng3_2(*args, **kw)
+    assert abs(float(la - lb)) / float(la) < 1e-6
+    assert np.abs(np.asarray(outa) - np.asarray(outb)).max() < 1e-5
+    for tag, (pa, pb) in (("dp", (dpa, dpb)), ("dc1", (dca, dcb))):
+        pa, pb = np.asarray(pa), np.asarray(pb)
+        rel = np.abs(pa - pb).max() / (np.abs(pa).max() + 1e-12)
+        assert rel < (1e-5 if md is None else 1e-4), (tag, rel)
+    for k in ga:
+        da, db = np.asarray(ga[k]), np.asarray(gb[k])
+        rel = np.abs(da - db).max() / (np.abs(da).max() + 1e-12)
+        assert rel < 1e-5, (k, rel)
