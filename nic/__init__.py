@@ -17,3 +17,34 @@ TPU-first:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache for this process.
+
+    The lane-packed 3D train kernel's FIRST Mosaic compile costs ~10 min
+    server-side (NOTES_r3.md session 4); every later process would pay it
+    again without a persistent cache. Default cache dir is ``.jax_cache/``
+    at the repo root (gitignored). Opt out with ``NIC_COMPILE_CACHE=0``;
+    relocate with ``NIC_COMPILE_CACHE_DIR``. Failures are non-fatal: a
+    backend whose executables don't serialize just skips the cache.
+    """
+    if _os.environ.get("NIC_COMPILE_CACHE", "1").lower() in ("0", "off", ""):
+        return
+    path = _os.environ.get("NIC_COMPILE_CACHE_DIR") or _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache anything that took >1s to compile; small entries included.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()

@@ -35,7 +35,13 @@ class CompressionConfig:
     image_path: str = "data/sancho_512.png"
     project_name: str = "image_compression"
     compression_method: int = 1  # 1: 2D | 2: 3D→2D tiles | 3: 3D pyramid | 4: sparse-G0 3D
-    mlp_num_dtype: int = 32      # 16 → bf16 (TPU-native; replaces broken fp16), 32 → fp32
+    mlp_num_dtype: int = 16      # 16 → bf16 (TPU-native; replaces the reference's broken
+                                 # fp16, readme.md:9), 32 → fp32 (the reference default).
+                                 # Default flipped to 16 in round 4 on 320k-convergence
+                                 # parity at every FP_BITS (BASELINE.md: 41.95 vs 41.96
+                                 # @FP8, 37.09/37.14 @FP4, 29.33/29.37 @FP2) with a ~7%
+                                 # step-rate win; surgical mode keeps grid sampling,
+                                 # grid updates, QAT noise, and the loss in fp32.
     num_epochs: int = 1000
     uniform_distribution_rate: float = 0.05
     image_3d_size: int = 64
@@ -68,7 +74,11 @@ class CompressionConfig:
     data_parallel: bool = False      # shard crops over a device mesh
     output_root: str = "runs"        # artifact root (reference wrote to cwd-relative dirs)
     save_lut_csv: bool = False       # export decoded 3D LUTs as CSV (sample22-x lineage)
-    rng_impl: str = "threefry2x32"   # "rbg" = cheaper on-device bits for QAT noise
+    rng_impl: str = "rbg"            # "rbg" = cheaper on-device bits for QAT noise
+                                     # (default since round 4: every 320k convergence
+                                     # run of the fast configs used rbg and landed at
+                                     # fp32 parity — 41.95/41.97 dB, BASELINE.md);
+                                     # "threefry2x32" = JAX's default counter PRNG
     tf_g1_quirk: bool = True         # reference's step==2 unweighted G1 sum (readme.md:7)
     mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
     entropy_code_grids: bool = False  # rANS-code grid codes vs fixed-length packing

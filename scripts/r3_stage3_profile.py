@@ -49,6 +49,8 @@ def slope_time(make_chain, kbig=24, ksmall=2, reps=5):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--crops", type=int, default=None,
+                    help="override NUM_CROPS (16-crop residual attribution)")
     args = ap.parse_args()
     kb, ks = (10, 2) if args.quick else (24, 2)
 
@@ -62,9 +64,12 @@ def main() -> None:
     from nic.kernels.train_fused import fused_mlp_loss_ng, pick_block_rows
     from nic.train.ntc import NTCTrainer
 
-    cfg = CompressionConfig(num_epochs=10**6, mlp_num_dtype=16,
-                            train_forward="kernel2", qat_noise_where="node",
-                            rng_impl="rbg", tf_write_psnr=False)
+    cfg_kw = dict(num_epochs=10**6, mlp_num_dtype=16,
+                  train_forward="kernel2", qat_noise_where="node",
+                  rng_impl="rbg", tf_write_psnr=False)
+    if args.crops is not None:
+        cfg_kw["num_crops"] = args.crops
+    cfg = CompressionConfig(**cfg_kw)
     images = load_asset(cfg)
     tr = NTCTrainer(cfg, images)
     fl, n, step = tr._geometry(0)
@@ -130,8 +135,8 @@ def main() -> None:
     comps["noise_node"] = chain(
         lambda i, s: s + sum(
             jnp.sum(g) for g in noised(
-                ((fp[fl * 2] + s * 1e-30), fp[fl * 2 + 1]),
-                jax.random.fold_in(key0, i))) * 1e-9)
+                (fp[0] + s * 1e-30,) + tuple(fp[1:]),
+                jax.random.fold_in(key0, i))[fl * 2:fl * 2 + 2]) * 1e-9)
     comps["targets"] = chain(
         lambda i, s: s + jnp.sum(targets(
             (origins0 + jnp.int32(s * 1e-30)) % (data_size - n + 1))) * 1e-9)
@@ -180,7 +185,8 @@ def main() -> None:
         gfp = tuple(g + s * 1e-30 for g in gfp0)
         upd_fp, _ = tr._tx_fp.update(gfp, opt_fp0, fp)
         fp2 = optax.apply_updates(fp, upd_fp)
-        upd_mlp, _ = tr._tx_mlp.update(gmlp0, opt_mlp0, mlp)
+        gmlp = {k: v + s * 1e-30 for k, v in gmlp0.items()}
+        upd_mlp, _ = tr._tx_mlp.update(gmlp, opt_mlp0, mlp)
         mlp2 = optax.apply_updates(mlp, upd_mlp)
         fp2 = fp_lib.pyramid_clamp(fp2, fl, cfg.fp_bits)
         return s + jnp.sum(fp2[fl * 2]) * 1e-9 + jnp.sum(mlp2["w1"]) * 1e-9

@@ -240,6 +240,9 @@ def _one_step(cfg, images, lod, frozen):
 
 
 def _assert_folded_equiv(cfg, images, lod=0):
+    # algebraic-equivalence check: pin fp32 so bf16 rounding (the round-4
+    # MLP_NUM_DTYPE=16 default) doesn't sit inside the tight tolerances
+    cfg = dataclasses.replace(cfg, mlp_num_dtype=32)
     cfg_f = dataclasses.replace(cfg, train_forward="folded")
     for frozen in (False, True):
         fp_g, mlp_g, loss_g = _one_step(cfg, images, lod, frozen)
