@@ -95,6 +95,12 @@ class CompressionConfig:
                                      # gradients reduced in VMEM — no [N,F] cotangent,
                                      # no scatter; falls back to "kernel" off the
                                      # 2D power-of-two crop lattice)
+                                     # | "kernel3" (kernel2 + the feature build itself
+                                     # fused: z1 assembled in VMEM from folded P/C1
+                                     # node windows + in-kernel triangular PE, dW1
+                                     # from node-plane contractions — no [N,F] matrix
+                                     # in either direction. Needs node-resolution QAT
+                                     # noise + tri-PE; falls back to "kernel2")
     train_gelu: str = "poly"         # GELU pair inside the fused train kernels:
                                      # "poly" (8-FMA even polynomial,
                                      # |Δgelu| ≤ 3.6e-4, |Δgelu'| ~1e-3 — the

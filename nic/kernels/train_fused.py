@@ -846,14 +846,16 @@ def _ng_packable(crops: int, ncols: int, rowsb: int, hidden: int,
             and not os.environ.get("NIC_NG_NO_PACK"))
 
 
-def _unfold_node_grads(dp, dc1, origins, w1, *, crops: int, ncols: int,
-                       rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
-                       channels: int):
-    """XLA-side backward tail: overlap-add the per-block node planes,
-    place each crop's window into full-grid accumulators, and contract
-    with the W1 feature blocks → (dG0, dG1) in grid layout [C, s, s]."""
+def _accumulate_node_planes(dp, dc1, origins, *, crops: int, ncols: int,
+                            rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
+                            hidden: int):
+    """Overlap-add the per-block node planes and place each crop's window
+    into full-grid accumulators. Returns (P, C1) with P
+    [g0_nodes+1, g0_nodes+1, H] (cell-resolution dz1 sums) and C1
+    [g1_nodes+2, g1_nodes+2, H] (interp-weighted dz1 sums) — the
+    resolution-reduced cotangents both dG0/dG1 (via W1) and dW1 (via the
+    grid values, nic.kernels.train_fused_ff) contract against."""
     f32 = jnp.float32
-    hidden = w1.shape[1]
     f1 = 2 * f
     B = (ncols * ncols) // (rowsb * ncols)
     nr0 = (rowsb + f - 2) // f + 1
@@ -886,6 +888,20 @@ def _unfold_node_grads(dp, dc1, origins, w1, *, crops: int, ncols: int,
         c1_ = origins[i, 1] // f1
         cur1 = jax.lax.dynamic_slice(C1, (r1, c1_, 0), (rows1, nc1, hidden))
         C1 = jax.lax.dynamic_update_slice(C1, cur1 + acc1[i], (r1, c1_, 0))
+    return P, C1
+
+
+def _unfold_node_grads(dp, dc1, origins, w1, *, crops: int, ncols: int,
+                       rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
+                       channels: int):
+    """XLA-side backward tail: overlap-add the per-block node planes,
+    place each crop's window into full-grid accumulators, and contract
+    with the W1 feature blocks → (dG0, dG1) in grid layout [C, s, s]."""
+    f32 = jnp.float32
+    hidden = w1.shape[1]
+    P, C1 = _accumulate_node_planes(
+        dp, dc1, origins, crops=crops, ncols=ncols, rowsb=rowsb, f=f,
+        g0_nodes=g0_nodes, g1_nodes=g1_nodes, hidden=hidden)
 
     ch = channels
     dg0 = jnp.zeros((g0_nodes + 2, g0_nodes + 2, ch), f32)

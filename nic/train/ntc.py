@@ -197,14 +197,14 @@ class NTCTrainer:
         # gather path.
         forward = cfg.train_forward
         if forward == "auto":
-            forward = ("kernel2" if jax.default_backend() == "tpu"
+            forward = ("kernel3" if jax.default_backend() == "tpu"
                        and mesh is None else "gather")
         use_folded = forward == "folded"
         # TRAIN_FORWARD=kernel: the gather-built [N, F] features feed one
         # fused Pallas kernel computing fwd+loss+bwd in a single pass
         # (nic.kernels.train_fused). Single-device only: under a mesh the
         # [N, F] matrix is sharded and the XLA SPMD path handles it.
-        use_kernel = forward in ("kernel", "kernel2") and mesh is None
+        use_kernel = forward in ("kernel", "kernel2", "kernel3") and mesh is None
         train_gelu = cfg.train_gelu
         kernel_rows = None
         if use_kernel:
@@ -254,9 +254,46 @@ class NTCTrainer:
                       and (rowsb * n * n) % 128 == 0)
             return ok, rowsb, f
 
+        # TRAIN_FORWARD=kernel3: the feature build itself moves into the
+        # kernel — z1 is assembled in VMEM from folded node-resolution
+        # P/C1 windows + in-kernel triangular PE, and dW1 comes from the
+        # node planes contracted with the grid values; no [N, F] matrix
+        # exists in either direction (nic.kernels.train_fused_ff). Gated
+        # to the 2D dense-G0 lattice with tri-PE and node noise (feature
+        # noise needs the materialized matrix); falls back to kernel2.
+        noise_node = cfg.qat_noise_where == "node"
+
+        def _k3_gate(crops_eff: int):
+            from nic.kernels.train_fused import pick_block_rows
+            from nic.kernels.train_fused_ff import ff_geometry
+
+            if not (ndim == 2 and not sparse_g0 and use_tri_pe
+                    and 0 < step <= 1 and (noise_node or frozen)
+                    and cfg.pe_channels <= 8 and crops_eff >= 1):
+                return False, None, None
+            f_inv = 1.0 / step
+            if abs(f_inv - round(f_inv)) >= 1e-9:
+                return False, None, None
+            f = int(round(f_inv))
+            rows_cap = pick_block_rows(crops_eff * n * n)
+            if rows_cap is None:
+                return False, None, None
+            rowsb = min(max(rows_cap // n, 2 * f), n // 2)
+            if rowsb < 1 or n % rowsb:
+                return False, None, None
+            ok = ff_geometry(crops=crops_eff, n=n, rowsb=rowsb, f=f,
+                             hidden=cfg.hidden_layer_channels,
+                             pe_channels=cfg.pe_channels)
+            return ok, rowsb, f
+
+        use_kernel3 = False
+        k3_rowsb = k3_f = None
+        if use_kernel and forward == "kernel3":
+            use_kernel3, k3_rowsb, k3_f = _k3_gate(num_crops)
         use_kernel2 = False
         k2_rowsb = k2_f = None
-        if use_kernel and forward == "kernel2":
+        if use_kernel and not use_kernel3 and forward in ("kernel2",
+                                                          "kernel3"):
             use_kernel2, k2_rowsb, k2_f = _k2_gate(num_crops)
         # sharded kernel2: under a mesh, shard_map the fused node-gradient
         # kernel per device over the 'data' (crop) axis and pmean the
@@ -266,17 +303,17 @@ class NTCTrainer:
         use_kernel_sharded = False
         ks_rowsb = ks_f = None
         data_axis_size = 1
-        if mesh is not None and forward == "kernel2":
+        if mesh is not None and forward in ("kernel2", "kernel3"):
             data_axis_size = int(mesh.shape.get("data", 1))
             if num_crops % data_axis_size == 0:
                 use_kernel_sharded, ks_rowsb, ks_f = _k2_gate(
                     num_crops // data_axis_size)
         # introspection for tests/debugging: which forward actually engaged
         self._forward_mode = ("kernel2_sharded" if use_kernel_sharded else
+                              "kernel3" if use_kernel3 else
                               "kernel2" if use_kernel2 else
                               "kernel" if use_kernel else
                               "folded" if use_folded else "gather")
-        noise_node = cfg.qat_noise_where == "node"
         mip_to_level = self.mip_to_level
 
         def noised_grids(fp, noise_key):
@@ -391,6 +428,22 @@ class NTCTrainer:
             return t.reshape(-1, 3)
 
         def loss_fn(fp, mlp, origins, noise_key):
+            if use_kernel3:
+                from nic.kernels.train_fused_ff import fused_train_ff
+
+                fpc = tuple(g.astype(dtype) for g in fp)
+                if not frozen and noise_node:
+                    fpc = noised_grids(fpc, noise_key)
+                tgt = targets_of(origins)
+                # grid + FULL MLP grads are hand-built inside the
+                # primitive (node planes + tiny contractions); the noise
+                # add above routes d(noised) → d(raw) by identity
+                loss, out = fused_train_ff(
+                    fpc[fl * 2], fpc[fl * 2 + 1], mlp, tgt, origins,
+                    num_crops, n, k3_rowsb, k3_f, cfg.pe_channels,
+                    float(lod), matmul_dtype, train_gelu,
+                )
+                return loss, (out, tgt)
             if use_kernel2:
                 from nic.kernels.train_fused import (fused_mlp_loss_ng,
                                                      fused_mlp_loss_ng3)

@@ -524,3 +524,118 @@ def test_ng3_packed_matches_unpacked(sparse, md):
         da, db = np.asarray(ga[k]), np.asarray(gb[k])
         rel = np.abs(da - db).max() / (np.abs(da).max() + 1e-12)
         assert rel < 1e-5, (k, rel)
+
+
+# ---------------------------------------------------------------------------
+# kernel3: feature-free fused train step (nic.kernels.train_fused_ff)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,step,data_size,crops,rowsb", [
+    (16, 0.25, 64, 2, 8),   # f=4, f1=8 (flagship shape class)
+    (16, 0.5, 64, 3, 8),    # f=2, f1=4
+    (16, 1.0, 32, 2, 8),    # f=1, f1=2 (node-per-pixel mip)
+])
+def test_fused_ff_matches_gather_autodiff(n, step, data_size, crops, rowsb):
+    """fused_train_ff (in-VMEM feature build, hand-built FULL backward)
+    must reproduce loss, out, grid grads, and EVERY MLP grad — including
+    dW1 via the node-plane contractions — of the gather+autodiff path."""
+    from nic.kernels.train_fused_ff import ff_geometry, fused_train_ff
+
+    C, pe = 4, 2
+    g0, g1, mlp, origins, tgt, features, f = _ng_setup(
+        11, C, pe, n, step, data_size, crops)
+    assert ff_geometry(crops=crops, n=n, rowsb=rowsb, f=f,
+                       hidden=mlp["w2"].shape[0], pe_channels=pe)
+
+    def ref_loss(g0g1, m):
+        x = features(g0g1)
+        out = apply_mlp(m, x, matmul_dtype=None)
+        return jnp.mean((out - tgt) ** 2), out
+
+    (l0, o0), ((dg0_0, dg1_0), gm0) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    def ff_loss(g0g1, m):
+        return fused_train_ff(g0g1[0], g0g1[1], m, tgt, origins,
+                              crops, n, rowsb, f, pe, 0.0, None, "erf")
+
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), ((dg0_1, dg1_1), gm1) = jax.value_and_grad(
+            ff_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    assert abs(float(l0 - l1)) / float(l0) < 1e-5
+    assert float(jnp.abs(o0 - o1).max()) < 1e-5
+    for a, b, tag in ((dg0_0, dg0_1, "dg0"), (dg1_0, dg1_1, "dg1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12))
+        assert rel < 1e-4, (tag, rel)
+    for k in gm0:
+        rel = float(jnp.abs(gm0[k] - gm1[k]).max()
+                    / (jnp.abs(gm0[k]).max() + 1e-12))
+        assert rel < 1e-4, (k, rel)
+
+
+def test_trainer_kernel3_matches_gather():
+    """NTCTrainer(TRAIN_FORWARD=kernel3): losses must track the gather
+    path step for step under node noise."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for fwd in ("gather", "kernel3"):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+            mlp_num_dtype=16, image_path="data/sancho_512.png",
+            train_forward=fwd, train_gelu="erf", qat_noise_where="node",
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(5, chunk=5)
+        if fwd == "kernel3":
+            assert tr._forward_mode == "kernel3"
+        res[fwd] = np.asarray(losses)
+    assert res["gather"][0] == pytest.approx(res["kernel3"][0], rel=1e-5)
+    np.testing.assert_allclose(res["gather"], res["kernel3"], rtol=1e-3)
+
+
+def test_trainer_kernel3_feature_noise_falls_back():
+    """kernel3 needs node-resolution noise (feature noise requires the
+    materialized [N, F] matrix) — the gate must fall back to kernel2."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    cfg = CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+        mlp_num_dtype=16, image_path="data/sancho_512.png",
+        train_forward="kernel3", qat_noise_where="feature",
+    )
+    tr = NTCTrainer(cfg, load_asset(cfg))
+    tr._build_step(0, frozen=False, jit=False)
+    assert tr._forward_mode == "kernel2"
+    # frozen phase applies no noise — kernel3 re-engages
+    tr._build_step(0, frozen=True, jit=False)
+    assert tr._forward_mode == "kernel3"
+
+
+def test_trainer_kernel3_freeze_boundary_matches_gather():
+    """kernel3 across the 95% freeze boundary (frozen phase trains the
+    MLP only, from hard-quantized grids — dW1 still flows)."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for fwd in ("gather", "kernel3"):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=40,
+            mlp_num_dtype=16, image_path="data/sancho_512.png",
+            train_forward=fwd, train_gelu="erf", qat_noise_where="node",
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(40)
+        assert tr.state.frozen
+        res[fwd] = np.asarray(losses)
+    np.testing.assert_allclose(res["gather"], res["kernel3"], rtol=2e-3)
