@@ -124,7 +124,9 @@ def save_compressed(
     meta["grid_shapes"] = shapes
     meta["entropy_coded"] = entropy_coded
     if entropy_coded:
-        meta["rans_format"] = 2  # interleaved word-renorm lanes (rans.cpp)
+        # 3 = 64-lane shared-stream (SIMD decode), 2 = per-lane streams;
+        # informational only — the decoder auto-detects on the magic
+        meta["rans_format"] = 3 if arrays["grid0"][:4].tobytes() == b"NR3\x01" else 2
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     _atomic_savez(path, **arrays)
 

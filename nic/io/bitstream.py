@@ -57,7 +57,7 @@ def write_nicx(path: str, blob: dict, model_info: dict) -> int:
         "hw": [int(v) for v in blob["hw"]],
         "len_y": len(blob["y"]),
         "len_z": len(blob["z"]),
-        "rans_format": 2,
+        "rans_format": 3 if blob["y"][:4] == b"NR3\x01" else 2,
         "model": model_info,
     }
     payload = json.dumps(header, sort_keys=True).encode()

@@ -270,3 +270,70 @@ def rans_decode_py(data: bytes, bins: np.ndarray, cdf: np.ndarray) -> np.ndarray
         while x < RANS_L:
             x = (x << 8) | rd()
     return out
+
+
+def rans_encode_ilv3_py(
+    symbols: np.ndarray, bins: np.ndarray, cdf: np.ndarray
+) -> bytes:
+    """Pure-python stream-format-3 encoder (oracle for
+    rans.cpp:nic_rans_encode_ilv3 — same state machine, bit-identical
+    output): 64 lanes sharing ONE u16 word stream, payload =
+    u32le state[64] | words | 32*4 zero pad. Lane of symbol i is i % 64
+    in the batched body and (i - body) in the n % 64 tail."""
+    lanes = 64
+    n = len(symbols)
+    body = n - (n % lanes)
+    x = [1 << 16] * lanes
+    words: list[int] = []
+    for i in range(n - 1, -1, -1):
+        lane = (i - body) if i >= body else (i % lanes)
+        row = cdf[bins[i]]
+        s = int(symbols[i])
+        start = int(row[s])
+        freq = int(row[s + 1]) - start
+        xl = x[lane]
+        if xl >= (freq << 16):
+            words.append(xl & 0xFFFF)
+            xl >>= 16
+        x[lane] = ((xl // freq) << 16) + (xl % freq) + start
+    out = bytearray()
+    for xl in x:
+        out += bytes((xl & 0xFF, (xl >> 8) & 0xFF,
+                      (xl >> 16) & 0xFF, (xl >> 24) & 0xFF))
+    for w in reversed(words):
+        out += bytes((w & 0xFF, w >> 8))
+    out += bytes(128)
+    return bytes(out)
+
+
+def rans_decode_ilv3_py(
+    payload: bytes, bins: np.ndarray, cdf: np.ndarray
+) -> np.ndarray:
+    """Decode the format-3 payload (see rans_encode_ilv3_py)."""
+    lanes = 64
+    x = []
+    for l in range(lanes):
+        b0 = payload[4 * l: 4 * l + 4]
+        x.append(b0[0] | (b0[1] << 8) | (b0[2] << 16) | (b0[3] << 24))
+    pos = 4 * lanes
+    end = len(payload) - 128
+    n = len(bins)
+    body = n - (n % lanes)
+    out = np.empty(n, np.int32)
+    for i in range(n):
+        lane = (i - body) if i >= body else (i % lanes)
+        row = cdf[bins[i]]
+        cum = x[lane] & 0xFFFF
+        s = int(np.searchsorted(row, cum, side="right")) - 1
+        start = int(row[s])
+        freq = int(row[s + 1]) - start
+        out[i] = s
+        xv = freq * (x[lane] >> 16) + cum - start
+        if xv < (1 << 16):
+            w = 0
+            if pos + 1 < end:
+                w = payload[pos] | (payload[pos + 1] << 8)
+            pos += 2
+            xv = (xv << 16) | w
+        x[lane] = xv
+    return out

@@ -94,6 +94,21 @@ def _load_rans():
         ]
         lib.nic_rans_build_lut.restype = None
         lib.nic_rans_build_lut.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, u16p]
+        lib.nic_rans_encode_ilv3.restype = ctypes.c_int64
+        lib.nic_rans_encode_ilv3.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64, u8p,
+            ctypes.c_int64,
+        ]
+        lib.nic_rans_decode_ilv3.restype = ctypes.c_int
+        lib.nic_rans_decode_ilv3.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+            u16p, ctypes.c_int32, i32p,
+        ]
+        lib.nic_rans_build_lut_coarse.restype = None
+        lib.nic_rans_build_lut_coarse.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, u16p,
+        ]
+        lib.nic_rans_simd_available.restype = ctypes.c_int
         _rans = lib
     return _rans
 
@@ -111,22 +126,42 @@ def _i32p(a: np.ndarray):
 # persist in old entropy-coded artifacts; callers with stored metadata pass
 # legacy=True explicitly, everything else auto-detects on the magic.
 _RANS2_MAGIC = b"NR2\x01"
+# format 3: 64-lane (4 x 16) SINGLE-stream word rANS, AVX-512-decodable
+# (rans.cpp format-3 section). Header is just the magic — the payload is
+# self-contained (64 u32 states + shared u16 word stream + pad).
+_RANS3_MAGIC = b"NR3\x01"
+# format 3 carries ~384 B of fixed overhead (64 u32 states + load pad);
+# small streams stay format 2 where that would cost real bpp
+_RANS3_MIN_SYMS = 16384
 _RANS_LANES = 8
+_LUT3_SHIFT = 6  # coarse cum->symbol buckets: 2^(16-6) entries/bin (2 KB)
 
 
 def rans_encode(
     symbols: np.ndarray, bins: np.ndarray, cdf: np.ndarray, lanes: int = _RANS_LANES
 ) -> bytes:
     """rANS-encode ``symbols`` (each drawn from its ``bins`` row of the
-    int32 [n_bins, S+1] 16-bit-total ``cdf``) into a format-2 stream:
-    ``b"NR2\\x01" + u8 lanes + u32le lane_len[lanes] + lane payloads``.
-    Native C++ with a pure-python fallback (nic.io.entropy), bit-identical."""
+    int32 [n_bins, S+1] 16-bit-total ``cdf``). With the native library
+    present, emits a format-3 stream (``b"NR3\\x01"`` + the 64-lane
+    shared-stream payload — SIMD-decodable); otherwise a format-2 stream
+    via the pure-python coder. Decoders auto-detect on the magic."""
     import struct
 
     symbols = np.ascontiguousarray(symbols, np.int32).reshape(-1)
     bins = np.ascontiguousarray(bins, np.int32).reshape(-1)
     cdf = np.ascontiguousarray(cdf, np.int32)
     lib = _load_rans()
+    if (lib is not None and hasattr(lib, "nic_rans_encode_ilv3")
+            and symbols.size >= _RANS3_MIN_SYMS):
+        cap = symbols.size * 2 + 64 * 4 + 256
+        out = np.empty(cap, np.uint8)
+        total = lib.nic_rans_encode_ilv3(
+            _i32p(symbols), _i32p(bins), symbols.size, _i32p(cdf),
+            cdf.shape[1], _u8p(out), cap,
+        )
+        if total < 0:
+            raise ValueError("rans encode failed (symbol out of CDF range?)")
+        return _RANS3_MAGIC + out[:total].tobytes()
     if lib is None:
         from nic.io.entropy import rans_encode_ilv_py
 
@@ -171,6 +206,30 @@ def _decode_lut(cdf: np.ndarray):
     return lut
 
 
+def _decode_lut_coarse(cdf: np.ndarray):
+    """Coarse cum→symbol buckets for the format-3 SIMD decode: 2 KB per
+    bin (vs the exact table's 128 KB — which misses L2 and was measured
+    as the SIMD decode's bottleneck), corrected by an in-loop increment
+    over the cache-hot CDF rows. Always cheap to build, so no size gate."""
+    import hashlib
+
+    key = ("c", cdf.shape,
+           hashlib.blake2b(cdf.tobytes(), digest_size=16).digest())
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lib = _load_rans()
+    lut = np.empty((cdf.shape[0] << (16 - _LUT3_SHIFT)) + 2, np.uint16)
+    lib.nic_rans_build_lut_coarse(
+        _i32p(cdf), cdf.shape[0], cdf.shape[1], _LUT3_SHIFT,
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if len(_LUT_CACHE) >= 8:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
 def rans_decode(
     data: bytes, bins: np.ndarray, cdf: np.ndarray, legacy: bool | None = None
 ) -> np.ndarray:
@@ -182,10 +241,12 @@ def rans_decode(
 
     bins = np.ascontiguousarray(bins, np.int32).reshape(-1)
     cdf = np.ascontiguousarray(cdf, np.int32)
+    if data.startswith(_RANS3_MAGIC):
+        return _rans_decode3(data[len(_RANS3_MAGIC):], bins, cdf)
     if legacy is None:
         legacy = not data.startswith(_RANS2_MAGIC)
     elif not legacy and not data.startswith(_RANS2_MAGIC):
-        raise ValueError("rans stream lacks the format-2 header")
+        raise ValueError("rans stream lacks the format-2/3 header")
     lib = _load_rans()
     if legacy:
         if lib is None:
@@ -221,6 +282,26 @@ def rans_decode(
         lanes, _i32p(bins), bins.size, _i32p(cdf), cdf.shape[1],
         lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)) if use_lut
         else ctypes.cast(None, ctypes.POINTER(ctypes.c_uint16)),
+        _i32p(out),
+    )
+    if rc != 0:
+        raise ValueError("rans decode failed")
+    return out
+
+
+def _rans_decode3(payload: bytes, bins: np.ndarray, cdf: np.ndarray):
+    lib = _load_rans()
+    if lib is None or not hasattr(lib, "nic_rans_decode_ilv3"):
+        from nic.io.entropy import rans_decode_ilv3_py
+
+        return rans_decode_ilv3_py(payload, bins, cdf)
+    buf = np.ascontiguousarray(np.frombuffer(payload, np.uint8))
+    out = np.empty(bins.size, np.int32)
+    lut = _decode_lut_coarse(cdf)
+    rc = lib.nic_rans_decode_ilv3(
+        _u8p(buf), buf.size, _i32p(bins), bins.size, _i32p(cdf),
+        cdf.shape[1],
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _LUT3_SHIFT,
         _i32p(out),
     )
     if rc != 0:

@@ -70,10 +70,16 @@ def test_rans_roundtrip_and_native_parity():
         # byte-for-byte, and both formats must decode (see test_entropy_ilv
         # for the full matrix)
         blob_cc = native.rans_encode(syms, bins, cdf)
-        import struct
+        if blob_cc.startswith(b"NR2\x01"):
+            import struct
 
-        payload, lens = ec.rans_encode_ilv_py(syms, bins, cdf, 8)
-        assert blob_cc == b"NR2\x01" + struct.pack("<B8I", 8, *lens) + payload
+            payload, lens = ec.rans_encode_ilv_py(syms, bins, cdf, 8)
+            assert blob_cc == (b"NR2\x01"
+                               + struct.pack("<B8I", 8, *lens) + payload)
+        else:
+            # large streams emit format 3 (bit-parity vs its python oracle
+            # is covered in test_entropy_ilv)
+            assert blob_cc.startswith(b"NR3\x01")
         np.testing.assert_array_equal(native.rans_decode(blob_cc, bins, cdf), syms)
         # legacy format-1 streams still decode through the same entry point
         np.testing.assert_array_equal(
