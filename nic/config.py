@@ -83,6 +83,14 @@ class CompressionConfig:
     mlp_store_bits: int = 32         # 16 → float16 decoder weights in the artifact
     entropy_code_grids: bool = False  # rANS-code grid codes vs fixed-length packing
     tf_resume: bool = False          # resume training from the newest checkpoint
+    sdc_guard_train: bool = True     # in-train SDC probe: after each scan chunk,
+                                     # run ONE train step twice (non-donating) and
+                                     # compare every output bit-for-bit on device;
+                                     # probe results are discarded, so training is
+                                     # bit-identical either way. Catches the
+                                     # per-process silent corruption the tunneled
+                                     # chip demonstrated (nic/obs/integrity.py);
+                                     # raises SDCError when persistent
     train_forward: str = "auto"      # "auto" (fastest eligible kernel on TPU, gather
                                      # elsewhere — same value/grads to rounding)
                                      # | "gather" (reference-shaped [N,F] feature build)
@@ -243,6 +251,7 @@ _CLI_KEYS: dict[str, str] = {
     "MLP_STORE_BITS": "mlp_store_bits",
     "ENTROPY_CODE_GRIDS": "entropy_code_grids",
     "TF_RESUME": "tf_resume",
+    "SDC_GUARD_TRAIN": "sdc_guard_train",
     "DIV_SIZE": "div_size",
     "TRAIN_FORWARD": "train_forward",
     "GRID_VJP": "grid_vjp",

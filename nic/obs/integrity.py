@@ -109,3 +109,31 @@ def verified_result(
     raise RuntimeError(
         f"verified_result: no stable result after {retries} retries"
     )
+
+
+class SDCError(RuntimeError):
+    """Persistent silent-data-corruption detected (two independent device
+    executions of the same program on the same data keep disagreeing)."""
+
+
+def tree_equal_fn():
+    """A jitted device-side bit-comparison for pytrees: returns a scalar
+    bool (one byte to host — comparing multi-MB optimizer states on host
+    through the axon tunnel would cost more than the guard saves). NaNs
+    compare equal so a diverged-but-deterministic run does not trip the
+    guard."""
+    import jax
+    import jax.numpy as jnp
+
+    def leaf_eq(a, b):
+        eq = a == b
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            eq = eq | (jnp.isnan(a) & jnp.isnan(b))
+        return jnp.all(eq)
+
+    @jax.jit
+    def equal(ta, tb):
+        leaves = jax.tree.map(leaf_eq, ta, tb)
+        return jnp.all(jnp.stack(jax.tree.leaves(leaves)))
+
+    return equal

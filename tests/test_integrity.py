@@ -64,3 +64,55 @@ def test_verified_result_tuple_output():
                            warn=lambda m: warns.append(m))
     np.testing.assert_array_equal(a, np.ones(2))
     assert len(warns) == 1
+
+
+def test_in_train_sdc_guard_noop_and_bit_identical():
+    """The post-chunk SDC probe must pass on healthy hardware and leave
+    the training stream bit-identical to a guard-off run."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    res = {}
+    for guard in (True, False):
+        cfg = CompressionConfig(
+            image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=300,
+            qat_noise_where="node", sdc_guard_train=guard,
+        )
+        tr = NTCTrainer(cfg, load_asset(cfg))
+        losses, _ = tr.train_many(128, chunk=64)
+        res[guard] = np.asarray(losses)
+    np.testing.assert_array_equal(res[True], res[False])
+
+
+def test_in_train_sdc_guard_trips_on_injected_corruption():
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.obs.integrity import SDCError
+    from nic.train.ntc import NTCTrainer
+
+    cfg = CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=300,
+        qat_noise_where="node",
+    )
+    tr = NTCTrainer(cfg, load_asset(cfg))
+
+    class FlakyStep:
+        """Simulates per-execution corruption: every call perturbs the
+        loss output differently."""
+
+        def __init__(self, fn):
+            self.fn = fn
+            self.calls = 0
+
+        def __call__(self, *args):
+            out = self.fn(*args)
+            self.calls += 1
+            return out[:4] + (out[4] + self.calls * 1e-6,) + out[5:]
+
+    import jax
+
+    real = jax.jit(tr._build_step(0, frozen=False, jit=False))
+    tr._step_fns[("probe", 0, False)] = FlakyStep(real)
+    with pytest.raises(SDCError):
+        tr.train_many(64, chunk=64)
