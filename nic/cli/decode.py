@@ -51,6 +51,7 @@ def run(argv=None):
     mlp, fp, meta = load_compressed(args.artifact)
     cfg_meta = meta.get("config", {})
     image_size = args.image_size or cfg_meta.get("image_size")
+    image_size_w = cfg_meta.get("image_size_w", 0)
     if image_size is None:
         # infer 2D size from the G0 grid: base = size-1, image = 4*base
         image_size = (fp[0].shape[1] - 1) * 4
@@ -78,6 +79,10 @@ def run(argv=None):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "fast"
+    if image_size_w and image_size_w != image_size:
+        # rectangular artifacts decode through the folded path (the fused
+        # kernels are square-gated; per-axis counts ride the fold)
+        backend = "fast"
     if backend == "pallas" and ndim == 2 and sparse_g0:
         # sparse G0 is 3D-only in the reference; no 2D kernel covers it
         backend = "fast"
@@ -129,11 +134,15 @@ def run(argv=None):
     elif backend == "fast":
         from nic.grids.fastdecode import fast_decode
 
+        rect_n = (
+            tuple(s // (2**mip) for s in (image_size, image_size_w))
+            if image_size_w and ndim == 2 else None
+        )
         decode = jax.jit(
             lambda fp, mlp: fast_decode(
                 fp, mlp, mip, image_size=image_size, mip_to_level=mip_to_level,
                 pe_channels=pe_channels, use_tri_pe=use_tri_pe, ndim=ndim,
-                sparse_g0=sparse_g0,
+                sparse_g0=sparse_g0, n=rect_n,
             )
         )
     else:

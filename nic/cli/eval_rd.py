@@ -48,6 +48,20 @@ def list_images(directory: str) -> list[str]:
     return paths
 
 
+def _load_native(path: str) -> np.ndarray:
+    """[3, H, W] float in [0, 1] at the file's OWN geometry (no crop, no
+    resize). H and W must be multiples of 4 (the pyramid downsamples 4x;
+    Kodak's 768x512 / 512x768 qualify natively)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if h % 4 or w % 4:
+        raise ValueError(f"{path}: native geometry needs H, W % 4 == 0 "
+                         f"(got {h}x{w})")
+    return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
+
+
 def _load_square(path: str, size: int) -> np.ndarray:
     """[3, size, size] float in [0, 1]: center-crop to square, resize."""
     from PIL import Image
@@ -61,8 +75,14 @@ def _load_square(path: str, size: int) -> np.ndarray:
     return (np.asarray(img, np.float32) / 255.0).transpose(2, 0, 1)
 
 
-def eval_ntc(paths: list[str], cfg, log, chunk: int = 2000) -> dict:
-    """Per-image NTC overfit (the reference protocol, per set member)."""
+def eval_ntc(paths: list[str], cfg, log, chunk: int = 2000,
+             native: bool = False) -> dict:
+    """Per-image NTC overfit (the reference protocol, per set member).
+
+    ``native=True`` scores every image at its OWN geometry (768x512 Kodak
+    frames train and decode rectangular — no center-crop, no resize);
+    the per-image config carries IMAGE_SIZE(_W) from the file."""
+    import dataclasses
     import tempfile
 
     from nic.core.metrics import psnr as psnr_fn
@@ -72,8 +92,15 @@ def eval_ntc(paths: list[str], cfg, log, chunk: int = 2000) -> dict:
 
     rows = []
     for path in paths:
-        img = _load_square(path, cfg.image_size)
-        trainer = NTCTrainer(cfg, [img])
+        if native:
+            img = _load_native(path)
+            cfg_i = dataclasses.replace(
+                cfg, image_size=img.shape[1], image_size_w=img.shape[2],
+                tf_no_mip=True)
+        else:
+            img = _load_square(path, cfg.image_size)
+            cfg_i = cfg
+        trainer = NTCTrainer(cfg_i, [img])
         trainer.train_many(cfg.num_epochs, chunk=chunk)
         trainer.freeze_and_quantize()
         # SDC-guarded (nic.obs.integrity): two bit-identical executions
@@ -93,7 +120,7 @@ def eval_ntc(paths: list[str], cfg, log, chunk: int = 2000) -> dict:
                 mlp_store_bits=cfg.mlp_store_bits,
                 entropy_coded=cfg.entropy_code_grids,
             )
-        bpp = bits / (cfg.image_size**2)
+        bpp = bits / (img.shape[1] * img.shape[2])
         rows.append({"image": os.path.basename(path), "psnr": p, "bpp": bpp})
         log(f"{os.path.basename(path)}: psnr {p:.2f} bpp {bpp:.3f}")
     return {
@@ -103,7 +130,8 @@ def eval_ntc(paths: list[str], cfg, log, chunk: int = 2000) -> dict:
             "num_epochs": cfg.num_epochs,
             "mlp_store_bits": cfg.mlp_store_bits,
             "entropy_code_grids": cfg.entropy_code_grids,
-            "geometry": "center-crop to square, bilinear resize",
+            "geometry": ("native (per-image rectangular)" if native else
+                         "center-crop to square, bilinear resize"),
         },
         "images": rows,
         "mean_psnr": float(np.mean([r["psnr"] for r in rows])),
@@ -158,6 +186,9 @@ def run(argv=None) -> dict:
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dir", default="data", help="directory of images")
+    p.add_argument("--native-geometry", action="store_true",
+                   help="score each image at its own (possibly "
+                        "rectangular) geometry - no crop/resize")
     p.add_argument("--codec", choices=("ntc", "hyperprior"), default="ntc")
     p.add_argument("--ckpt", default=None,
                    help="hyperprior checkpoint file or directory")
@@ -181,7 +212,7 @@ def run(argv=None) -> dict:
     paths = list_images(args.dir)
     log(f"{len(paths)} images under {args.dir}")
     if args.codec == "ntc":
-        res = eval_ntc(paths, cfg, log)
+        res = eval_ntc(paths, cfg, log, native=args.native_geometry)
     else:
         if not args.ckpt:
             raise SystemExit("--codec hyperprior requires --ckpt")

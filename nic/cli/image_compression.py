@@ -35,7 +35,8 @@ def load_asset(cfg: CompressionConfig):
         if cfg.compression_method != 1:
             raise ValueError("COMPRESSION_METHOD must be 1 for 2d image")
         return assets.load_image_mips(
-            cfg.image_path, cfg.image_size, cfg.effective_max_mip_level
+            cfg.image_path, cfg.image_size, cfg.effective_max_mip_level,
+            image_size_w=cfg.image_size_w,
         )
     # 3D input
     if cfg.compression_method == 1:
@@ -182,6 +183,7 @@ def run(argv=None) -> dict:
                 "save_name": cfg.save_name,
                 "config": {
                     "image_size": cfg.image_size,
+                    "image_size_w": cfg.image_size_w,
                     "pe_channels": cfg.pe_channels,
                     "tf_use_tri_pe": cfg.tf_use_tri_pe,
                     "tf_no_mip": cfg.tf_no_mip,

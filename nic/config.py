@@ -46,6 +46,12 @@ class CompressionConfig:
     uniform_distribution_rate: float = 0.05
     image_3d_size: int = 64
     image_size: int = 512
+    image_size_w: int = 0        # 0 → square (image_size). Non-zero enables
+                                 # NATIVE rectangular geometry (2D, tf_no_mip):
+                                 # [image_size, image_size_w] images, per-axis
+                                 # feature-pyramid sizes — the reference is
+                                 # square-only (var2.py:60); this is the Kodak
+                                 # 768x512 native-eval extension (round 4)
     image_dimension: int = 2
     max_mip_level: int = 9
     image_bits: int = 8
@@ -173,6 +179,20 @@ class CompressionConfig:
         return self.image_size // 4
 
     @property
+    def image_hw(self) -> tuple[int, int]:
+        """(rows, cols) of the 2D asset; cols default to square."""
+        return (self.image_size, self.image_size_w or self.image_size)
+
+    @property
+    def is_rectangular(self) -> bool:
+        return self.image_size_w not in (0, self.image_size)
+
+    @property
+    def feature_pyramid_hw(self) -> tuple[int, int]:
+        h, w = self.image_hw
+        return (h // 4, w // 4)
+
+    @property
     def fp_dimension(self) -> int:
         return 2 if self.compression_method == 2 else self.image_dimension
 
@@ -214,6 +234,7 @@ _CLI_KEYS: dict[str, str] = {
     "FP_BITS": "fp_bits",
     "NUM_EPOCHS": "num_epochs",
     "IMAGE_SIZE": "image_size",
+    "IMAGE_SIZE_W": "image_size_w",
     "IMAGE_3D_SIZE": "image_3d_size",
     "MAX_MIP_LEVEL": "max_mip_level",
     "FEATURE_PYRAMID_CHANNELS": "feature_pyramid_channels",

@@ -37,20 +37,27 @@ def asset_kind(path: str) -> str:
     raise ValueError(f"unsupported asset extension: {ext!r}")
 
 
-def load_image_mips(path: str, image_size: int, max_mip_level: int) -> list[np.ndarray]:
-    """RGB image → list of [3, S/2^i, S/2^i] float32 mips in [0,1].
+def load_image_mips(path: str, image_size: int, max_mip_level: int,
+                    image_size_w: int = 0) -> list[np.ndarray]:
+    """RGB image → list of [3, H/2^i, W/2^i] float32 mips in [0,1].
 
     Parity with the reference's PIL Resize + ToTensor mip chain
     (image_compression.py:429-442): bilinear resize of the *original* per
-    mip (not successive halving).
-    """
+    mip (not successive halving). ``image_size_w`` (0 = square) selects
+    native rectangular geometry — with H, W matching the file, no
+    resampling happens at mip 0."""
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
+    w0 = image_size_w or image_size
     mips = []
     for i in range(max_mip_level + 1):
-        s = image_size // (2**i)
-        resized = img.resize((s, s), Image.BILINEAR)
+        h = image_size // (2**i)
+        w = w0 // (2**i)
+        if (w, h) == img.size:
+            resized = img
+        else:
+            resized = img.resize((w, h), Image.BILINEAR)
         arr = np.asarray(resized, dtype=np.float32) / 255.0  # [H, W, 3]
         mips.append(arr.transpose(2, 0, 1))  # [3, H, W]
     return mips

@@ -72,14 +72,15 @@ def precompute_first_layer(fp, fl: int, mlp, *, ndim: int, channels: int,
         g0_offsets = tuple(itertools.product((0, 1), repeat=ndim))
     n_corners = len(g0_offsets)
 
-    # P[cell] = Σ_off G0[:, cell+off] · W1_block(off)
-    s_cells = g0.shape[1] - 1
+    # P[cell] = Σ_off G0[:, cell+off] · W1_block(off); cell counts are
+    # per-axis (rectangular grids differ by axis)
+    cells = tuple(s - 1 for s in g0.shape[1:])
     p_plane = None
     for k, off in enumerate(g0_offsets):
         w_blk = w1[k * c : (k + 1) * c]  # [C, H]
         sl = g0
         for d, o in enumerate(off):
-            sl = jax.lax.slice_in_dim(sl, o, o + s_cells, axis=1 + d)
+            sl = jax.lax.slice_in_dim(sl, o, o + cells[d], axis=1 + d)
         term = jnp.tensordot(sl, w_blk, axes=([0], [0]))  # [cells.., H]
         p_plane = term if p_plane is None else p_plane + term
 
@@ -108,6 +109,8 @@ def first_layer_acc(
     channels = fp[fl * 2].shape[0]
     if n is None:
         n = image_size // (2**mip_level)
+    # native rectangular geometry: per-axis sample counts (int = square)
+    ns = (n,) * ndim if isinstance(n, int) else tuple(n)
     if origin is None:
         origin = (0,) * ndim
 
@@ -121,14 +124,14 @@ def first_layer_acc(
     # ---- G0 term: nearest sample of P at floor(t) per axis ----
     h = p_plane
     for d in range(ndim):
-        h = _axis_take_up(h, e, n, origin[d], axis=d)
+        h = _axis_take_up(h, e, ns[d], origin[d], axis=d)
     acc = h  # [n.., H]
 
     # ---- G1 term: multilinear sample of C1 (or the step==2 raw sum) ----
     step = 2.0**e
     t1s, i1s, f1s = [], [], []
     for d in range(ndim):
-        t = (jnp.arange(n, dtype=jnp.float32) + origin[d]) * (step / 2.0)
+        t = (jnp.arange(ns[d], dtype=jnp.float32) + origin[d]) * (step / 2.0)
         i1 = jnp.floor(t).astype(jnp.int32)
         t1s.append(t)
         i1s.append(i1)
@@ -142,7 +145,7 @@ def first_layer_acc(
             if weights_on:
                 fd = f1s[d] if o else (1.0 - f1s[d])
                 shape = [1] * (ndim + 1)
-                shape[d] = n
+                shape[d] = ns[d]
                 fd = fd.reshape(shape)
                 w = fd if w is None else w * fd
         acc = acc + (g * w if weights_on else g)
@@ -153,7 +156,7 @@ def first_layer_acc(
         table = pe_fn(t1s[d][None, :], pe_channels).T  # [n, PE]
         vec = table @ pe_blocks[d]  # [n, H]
         shape = [1] * (ndim + 1)
-        shape[d] = n
+        shape[d] = ns[d]
         shape[-1] = vec.shape[-1]
         acc = acc + vec.reshape(shape)
     acc = acc + b1 + float(mip_level) * w_lod

@@ -64,7 +64,7 @@ def pyramid_mip_levels(image_size: int, base_size: int, no_mip: bool = False) ->
 
 def create_pyramid(
     key,
-    base_size: int,
+    base_size,
     channels: int,
     num_bits: int,
     ndim: int = 2,
@@ -74,15 +74,20 @@ def create_pyramid(
     """Uniform-init pyramid in [q_min, q_max]  (fp_def.py:37-78).
 
     Returns (pyramid, levels). ``ndim`` selects 2D ([C,s+1,s+1]) or 3D
-    ([C,s+1,s+1,s+1]) grids.
+    ([C,s+1,s+1,s+1]) grids. ``base_size`` may be a per-axis tuple for
+    NATIVE rectangular geometry (no reference counterpart — it is
+    square-only, var2.py:60): grid i then has shape
+    [C, s0/2^i + 1, s1/2^i + 1].
     """
-    levels = 1 if no_mip else pyramid_levels(base_size)
+    sizes = ((base_size,) * ndim if isinstance(base_size, int)
+             else tuple(base_size))
+    assert len(sizes) == ndim
+    levels = 1 if no_mip else pyramid_levels(min(sizes))
     q_min, q_max = quant_range(num_bits)
     grids = []
     keys = jax.random.split(key, levels * 2)
     for i in range(levels * 2):
-        s = base_size // (2**i)
-        shape = (channels,) + (s + 1,) * ndim
+        shape = (channels,) + tuple(s // (2**i) + 1 for s in sizes)
         g = jax.random.uniform(
             keys[i], shape, dtype=dtype, minval=q_min, maxval=q_max
         )

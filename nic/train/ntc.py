@@ -104,9 +104,14 @@ class NTCTrainer:
         # the step; statistical parity only (the reference used torch RNG)
         key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         k_fp, k_mlp, self._key = jax.random.split(key, 3)
+        if cfg.is_rectangular and (self.ndim != 2 or not cfg.tf_no_mip):
+            raise ValueError(
+                "rectangular geometry (IMAGE_SIZE_W) supports 2D no-mip "
+                "training only")
         fp, self.levels = fp_lib.create_pyramid(
             k_fp,
-            cfg.feature_pyramid_size,
+            cfg.feature_pyramid_hw if self.ndim == 2
+            else cfg.feature_pyramid_size,
             cfg.feature_pyramid_channels,
             cfg.fp_bits,
             ndim=self.ndim,
@@ -179,6 +184,7 @@ class NTCTrainer:
         ndim = self.ndim
         dataset = self.images[lod if lod < len(self.images) else -1]
         data_size = dataset.shape[1]
+        data_hw = tuple(dataset.shape[1:1 + ndim])
         num_crops = cfg.num_crops
         sparse_g0 = self._sparse_g0()
         use_tri_pe = self._use_tri_pe()
@@ -226,7 +232,8 @@ class NTCTrainer:
             from nic.kernels.train_fused import pick_block_rows
 
             if not (0 < step <= 1 and ndim in (2, 3)
-                    and not (ndim == 2 and sparse_g0) and crops_eff >= 1):
+                    and not (ndim == 2 and sparse_g0) and crops_eff >= 1
+                    and len(set(data_hw)) == 1):
                 return False, None, None
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
@@ -271,7 +278,8 @@ class NTCTrainer:
 
             if not (ndim == 2 and not sparse_g0 and use_tri_pe
                     and 0 < step <= 1 and (noise_node or frozen)
-                    and cfg.pe_channels <= 8 and crops_eff >= 1):
+                    and cfg.pe_channels <= 8 and crops_eff >= 1
+                    and len(set(data_hw)) == 1):
                 return False, None, None
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
@@ -562,7 +570,8 @@ class NTCTrainer:
         def train_step(fp, mlp, opt_fp, opt_mlp, key):
             k_crop, k_noise = jax.random.split(key)
             origins = jax.random.randint(
-                k_crop, (num_crops, ndim), 0, data_size - n + 1
+                k_crop, (num_crops, ndim), 0,
+                jnp.asarray([d - n + 1 for d in data_hw], jnp.int32),
             )
             if use_kernel_sharded:
                 loss, out, tgt, grads = sharded_grads(
@@ -876,6 +885,9 @@ class NTCTrainer:
         step = 2.0 ** (mip - (fl + 1) * 2)
         ndim = self.ndim
         decode_size = cfg.image_size // (2**mip)
+        hw = cfg.image_hw if ndim == 2 else (decode_size,) * ndim
+        decode_hw = tuple(s // (2**mip) for s in hw)
+        rect = len(set(decode_hw)) > 1
         power = self.max_mip - mip
         div_slice = 2 ** max(power - div_size, 0)
         n = decode_size // div_slice  # per-tile sample count
@@ -898,7 +910,8 @@ class NTCTrainer:
             else 1
         )
         if div_slice == 1:
-            if backend == "pallas" and ndim == 2 and not sparse_g0:
+            if backend == "pallas" and ndim == 2 and not sparse_g0 \
+                    and not rect:
                 # fused Pallas kernel (nic.kernels.decode_fused_v2 rev2) —
                 # the fastest backend on TPU (falls back to fast_decode
                 # internally for thumbnail mips / odd sizes); on a
@@ -949,10 +962,12 @@ class NTCTrainer:
                         use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
                         g1_quirk=cfg.tf_g1_quirk,
                     )
-            elif backend in ("fast", "pallas"):
+            elif backend in ("fast", "pallas") or rect:
                 # folded-first-layer decode (nic.grids.fastdecode): exact,
                 # ~2× fewer matmul FLOPs, no [N, F] feature matrix
-                # (pallas lands here for 3D / sparse-G0 artifacts)
+                # (pallas lands here for 3D / sparse-G0 artifacts;
+                # rectangular decodes of ANY backend too — the per-axis
+                # sample counts ride straight through the fold)
                 from nic.grids.fastdecode import fast_decode
 
                 m2l = self.mip_to_level
@@ -963,6 +978,7 @@ class NTCTrainer:
                         mip_to_level=m2l, pe_channels=cfg.pe_channels,
                         use_tri_pe=use_tri_pe, ndim=ndim, sparse_g0=sparse_g0,
                         g1_quirk=cfg.tf_g1_quirk,
+                        n=decode_hw if rect else None,
                     )
             else:
                 def decode(fp, mlp):

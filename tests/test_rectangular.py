@@ -1,0 +1,109 @@
+"""Native rectangular geometry (IMAGE_SIZE_W) — round-4 north-star
+extension. The reference is square-only (var2.py:60 of
+21K1113/Neural_Image_Compression_V2); a real Kodak harness must score
+768x512 frames natively. Covers: per-axis pyramids, rectangular crops,
+folded rectangular decode, artifact/decoder-runtime roundtrip, and the
+eval_rd --native-geometry path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nic.cli.image_compression import load_asset
+from nic.config import CompressionConfig
+from nic.core.metrics import psnr
+from nic.train.ntc import NTCTrainer
+
+
+def _cfg(**kw):
+    base = dict(image_size=64, image_size_w=96, crop_mip_level=5,
+                num_epochs=400, qat_noise_where="node")
+    base.update(kw)
+    return CompressionConfig(**base)
+
+
+def test_rect_train_decode_end_to_end():
+    cfg = _cfg()
+    imgs = load_asset(cfg)
+    assert imgs[0].shape == (3, 64, 96)
+    tr = NTCTrainer(cfg, imgs)
+    # per-axis grids: [C, H/4+1, W/4+1] and the half-res pair
+    assert tr.state.fp[0].shape == (12, 17, 25)
+    assert tr.state.fp[1].shape == (12, 9, 13)
+    tr.train_many(400, chunk=100)
+    rec = np.asarray(tr.decode(0))
+    assert rec.shape == (64, 96, 3)
+    tgt = np.moveaxis(np.asarray(imgs[0]), 0, -1)
+    assert float(psnr(rec, tgt)) > 30.0
+
+
+def test_rect_kodak_shape_trains():
+    """The Kodak 768x512 geometry compiles and runs (3 steps + decode)."""
+    cfg = _cfg(image_size=512, image_size_w=768, crop_mip_level=8,
+               num_epochs=100)
+    imgs = load_asset(cfg)
+    assert imgs[0].shape == (3, 512, 768)
+    tr = NTCTrainer(cfg, imgs)
+    tr.train_many(3, chunk=3)
+    rec = np.asarray(tr.decode(0))
+    assert rec.shape == (512, 768, 3)
+
+
+def test_rect_requires_no_mip():
+    cfg = _cfg(tf_no_mip=False, max_mip_level=4)
+    with pytest.raises(ValueError):
+        NTCTrainer(cfg, load_asset(cfg))
+
+
+def test_rect_artifact_roundtrip_through_decode_runtime(tmp_path):
+    from nic.cli.decode import run as decode_main
+    from nic.io.artifacts import save_compressed
+
+    cfg = _cfg(num_epochs=200)
+    imgs = load_asset(cfg)
+    tr = NTCTrainer(cfg, imgs)
+    tr.train_many(200, chunk=100)
+    tr.freeze_and_quantize()
+    art = str(tmp_path / "rect.npz")
+    save_compressed(
+        art, tr.state.mlp, tr.state.fp, cfg.fp_bits,
+        {"save_name": "rect", "config": {
+            "image_size": cfg.image_size, "image_size_w": cfg.image_size_w,
+            "pe_channels": cfg.pe_channels, "tf_use_tri_pe": True,
+            "tf_no_mip": True, "compression_method": 1,
+            "image_dimension": 2}},
+    )
+    out = str(tmp_path / "rect.png")
+    decode_main([art, "--out", out])
+    from PIL import Image
+
+    rec = np.asarray(Image.open(out), np.float32) / 255.0
+    assert rec.shape == (64, 96, 3)
+    ref = np.asarray(tr.decode(0))
+    # the runtime must reproduce the trainer's own decode to u8 rounding
+    assert np.abs(rec - ref).max() < 2.5 / 255.0
+
+
+def test_eval_rd_native_geometry(tmp_path):
+    from PIL import Image
+
+    from nic.cli.eval_rd import run as eval_main
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    # one landscape, one portrait — both % 4 == 0
+    for name, (h, w) in (("a.png", (48, 64)), ("b.png", (64, 48))):
+        arr = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, name))
+    out = str(tmp_path / "rd.json")
+    eval_main(["--dir", d, "--codec", "ntc", "--native-geometry",
+               "--out", out, "--output_root", str(tmp_path),
+               "NUM_EPOCHS=50", "CROP_MIP_LEVEL=5",
+               "QAT_NOISE_WHERE=node"])
+    import json
+
+    res = json.load(open(out))
+    assert res["protocol"]["geometry"].startswith("native")
+    assert len(res["images"]) == 2 and res["mean_bpp"] > 0
