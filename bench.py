@@ -149,7 +149,7 @@ def bench_decode(backend: str, image_size: int, dtype=None,
     return image_size * image_size / t / 1e9
 
 
-def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int = 32,
+def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int | None = 32,
                       **kw) -> float:
     """NTC train steps/s at flagship shapes (8 × 256² crops/step,
     fwd+bwd+Adam+clamp, lax.scan-chunked). train_many fetches the loss
@@ -159,12 +159,14 @@ def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int = 32,
     from nic.config import CompressionConfig
     from nic.train.ntc import NTCTrainer
 
-    # the parity metric stays pinned to the gather path (TRAIN_FORWARD
-    # defaults to "auto" since round 3 — kw selects the fast variants)
-    cfg = CompressionConfig(**{"num_epochs": 10**6,
-                               "mlp_num_dtype": mlp_num_dtype,
-                               "rng_impl": "rbg",
-                               "train_forward": "gather", **kw})
+    # mlp_num_dtype=None → pure config defaults (the flag-free run, the
+    # PRIMARY metric since round 4); the parity metric pins the gather
+    # path + fp32 explicitly
+    base = {"num_epochs": 10**6}
+    if mlp_num_dtype is not None:
+        base.update(mlp_num_dtype=mlp_num_dtype, rng_impl="rbg",
+                    train_forward="gather")
+    cfg = CompressionConfig(**{**base, **kw})
     trainer = NTCTrainer(cfg, load_asset(cfg))
     # warm with the SAME chunk size so the timed call reuses the compile
     trainer.train_many(num_steps, chunk=num_steps)
@@ -234,28 +236,28 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             result["bench3d_note"] = f"{type(e).__name__}: {e}"[:160]
 
-    train_steps_s = bench_train_steps()
-    # the round-3 fast training config: fused node-gradient kernel +
-    # surgical bf16 + node QAT noise (quality-matched at 20k/320k —
-    # BASELINE.md train table); reported separately from the fp32
-    # reference-parity rate above
+    # PRIMARY train metric since round 4 (VERDICT r3 Weak #5): what a
+    # flag-free `python -m nic.cli.image_compression` run actually does —
+    # config DEFAULTS all the way (auto forward, default dtype/RNG/noise).
     train_fast = None
     train_fast_err = None
     train_mip = None
+    try:
+        train_fast = bench_train_steps(
+            mlp_num_dtype=None, tf_write_psnr=False)
+    except Exception as e:  # pragma: no cover
+        train_fast_err = f"{type(e).__name__}: {e}"[:160]
+    # fp32 reference-parity rate (gather path, fp32, feature noise) —
+    # the apples-to-apples row vs the reference's own training loop
+    train_steps_s = bench_train_steps(
+        mlp_num_dtype=32, qat_noise_where="feature")
     if on_tpu:
         try:
-            train_fast = bench_train_steps(
-                mlp_num_dtype=16, train_forward="kernel2",
-                qat_noise_where="node", tf_write_psnr=False)
-        except Exception as e:  # pragma: no cover
-            train_fast_err = f"{type(e).__name__}: {e}"[:160]
-        try:
-            # mip/LOD training with the same fast config (per-LOD branches
-            # engage kernel2 where its gates hold) — the fastest measured
-            # training mode (BASELINE.md round-3 train table)
+            # mip/LOD training at the defaults (per-LOD branches engage
+            # the fused kernels where their gates hold) — the fastest
+            # measured training mode (BASELINE.md train table)
             train_mip = bench_train_steps(
-                mlp_num_dtype=16, train_forward="kernel2",
-                qat_noise_where="node", tf_write_psnr=False, tf_no_mip=False)
+                mlp_num_dtype=None, tf_write_psnr=False, tf_no_mip=False)
         except Exception as e:  # pragma: no cover
             result["train_mip_note"] = f"{type(e).__name__}: {e}"[:160]
 
@@ -270,15 +272,16 @@ def main() -> None:
         # value_exact is the strongest u8-identical ("exact-class") mode
         "value_mode": "tanh-gelu fast mode (−0.002 dB)",
         "value_exact": round(best_exact, 4),
-        "train_steps_s": round(train_steps_s, 2),
+        "train_steps_s_parity_fp32": round(train_steps_s, 2),
         "timing": "honest fori_loop slope (round-2 methodology fix)",
     }
     if train_fast is not None:
-        out["train_steps_s_fast"] = round(train_fast, 2)
+        # the PRIMARY rate: flag-free defaults (auto kernels, bf16, rbg)
+        out["train_steps_s"] = round(train_fast, 2)
     elif train_fast_err is not None:
-        out["train_steps_s_fast_note"] = train_fast_err
+        out["train_steps_s_note"] = train_fast_err
     if train_mip is not None:
-        out["train_steps_s_fast_mip"] = round(train_mip, 2)
+        out["train_steps_s_mip"] = round(train_mip, 2)
     # hyperprior codec end-to-end decode (host format-2 rANS + device
     # transforms), when a trained checkpoint is present in this tree
     try:
