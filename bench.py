@@ -99,7 +99,7 @@ def bench_decode3d(backend: str, sparse_g0: bool = False, size: int = 64,
 
 
 def _decode_fn(backend: str, image_size: int, mip_to_level, dtype=None,
-               gelu: str = "exact"):
+               gelu: str = "exact", z1_matmul: bool | str = False):
     import jax.numpy as jnp
 
     if backend == "xla":
@@ -133,17 +133,18 @@ def _decode_fn(backend: str, image_size: int, mip_to_level, dtype=None,
             return decode_image_fused_v2(
                 fp, mlp, 0, image_size=image_size, mip_to_level=mip_to_level,
                 pe_channels=PE, use_tri_pe=True, dtype=dtype, gelu=gelu,
+                z1_matmul=z1_matmul,
             )
     return fn
 
 
 def bench_decode(backend: str, image_size: int, dtype=None,
-                 gelu: str = "exact") -> float:
+                 gelu: str = "exact", z1_matmul: bool | str = False) -> float:
     """Honest GPix/s for one backend/size/dtype."""
     from scripts.honest_bench import honest_decode_time
 
     fp, mlp, m2l = _setup(image_size)
-    fn = _decode_fn(backend, image_size, m2l, dtype, gelu)
+    fn = _decode_fn(backend, image_size, m2l, dtype, gelu, z1_matmul)
     kbig = 96 if image_size <= 512 else 12
     t = honest_decode_time(fn, fp, mlp, kbig=kbig, ksmall=2)
     return image_size * image_size / t / 1e9

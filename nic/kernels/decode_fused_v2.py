@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -144,6 +146,45 @@ def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
         parts.append((1.0 - fu) * ca.astype(acc_dtype)
                      + fu * cb.astype(acc_dtype))
     acc = g0 + jnp.concatenate(parts, axis=0)
+    _mlp_tail(acc, peu_ref, w2_ref, b2_ref, w3t_ref, b3_ref, out_ref,
+              R=R, cols=cols, acc_dtype=acc_dtype, gelu=gelu, out_ch=out_ch)
+
+
+def _kernel_z1mm(pc_ref, c1_ref, a_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
+                 b3_ref, out_ref, *, R: int, f: int, f1: int, acc_dtype,
+                 gelu, out_ch: int = 3):
+    """z1-matmul kernel body: the row-upsample of P and the row-interp of
+    C1 become two small MXU contractions against STATIC matrices (the
+    roofline's "augmented first-layer contraction", BASELINE.md round-4
+    roofline note). The kernel is VPU-issue-bound; moving the ~5
+    element-ops/elem of the z1 build onto the idle MXU (11×+ slack) frees
+    those slots. The C1 halo row is pre-gathered host-side into (m+1)-row
+    blocks, so there is no second window and no in-kernel concatenate.
+    ``a_ref`` carries [A0 | A1] tiled per grid step (Pallas refuses
+    captured array constants, and a non-advancing window serializes —
+    module docstring); A0[r, r//f] = 1, A1[r, r//f1] = 1−fu,
+    A1[r, r//f1+1] = fu. Gated by "auto" to hidden = 128 (post-pack), so
+    the [rows, C, H] → [rows, C·H] collapses are lane-exact and free."""
+    cols = pc_ref.shape[1]
+    m = R // f1
+    hidden = pc_ref.shape[2]
+    k0 = R // f
+
+    c2 = c1_ref[:, :, :].reshape(m + 1, cols * hidden)
+    g1 = jnp.dot(a_ref[:, k0:], c2, preferred_element_type=acc_dtype)
+    if f == 1:  # A0 is the identity: add P directly, skip the matmul
+        acc = g1.reshape(R, cols, hidden) + pc_ref[:, :, :].astype(acc_dtype)
+    else:
+        p2 = pc_ref[:, :, :].reshape(k0, cols * hidden)
+        acc = (
+            jnp.dot(a_ref[:, :k0], p2, preferred_element_type=acc_dtype) + g1
+        ).reshape(R, cols, hidden)
+    _mlp_tail(acc, peu_ref, w2_ref, b2_ref, w3t_ref, b3_ref, out_ref,
+              R=R, cols=cols, acc_dtype=acc_dtype, gelu=gelu, out_ch=out_ch)
+
+
+def _mlp_tail(acc, peu_ref, w2_ref, b2_ref, w3t_ref, b3_ref, out_ref, *,
+              R, cols, acc_dtype, gelu, out_ch):
 
     # separable row-PE vectors (column PE + bias + LOD are pre-folded
     # into C1 host-side)
@@ -167,11 +208,11 @@ def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu", "packed",
-                     "nc"),
+                     "nc", "z1mm"),
 )
 def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
           f: int, f1: int, out_dtype, gelu: str = "exact",
-          packed: bool = False, nc: int | None = None):
+          packed: bool = False, nc: int | None = None, z1mm: bool = False):
     # n = output rows; nc = output columns (defaults to n — square image).
     # The rectangular form is what the row-sharded multi-device decode
     # (nic.kernels.decode_sharded) runs per device.
@@ -206,9 +247,12 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
     out_ch = w3.shape[1]
     useful_h = hidden // 2 if packed else hidden
 
+    # z1mm is gated to the packed layout by "auto" (hidden = 128 post-pack
+    # → lane-exact [rows,C,H]→[rows,C·H] collapses); an explicit True is
+    # honored at any width (correct, possibly relayout-slow)
     kernel = functools.partial(
-        _kernel, R=R, f=f, f1=f1, acc_dtype=jnp.float32, gelu=_GELUS[gelu],
-        out_ch=out_ch,
+        _kernel_z1mm if z1mm else _kernel, R=R, f=f, f1=f1,
+        acc_dtype=jnp.float32, gelu=_GELUS[gelu], out_ch=out_ch,
     )
     # params tiled per grid step so their windows advance (see module doc)
     tile8 = lambda a: jnp.tile(a.reshape(1, -1), (steps * 8, 1))
@@ -229,17 +273,42 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
         .reshape(ncol * nrow * (R // f), C, hidden)
     )
     c1_pad = jnp.pad(c1v, ((0, (nrow + 1) * m - c1v.shape[0]), (0, 0), (0, 0)))
-    c1_t = (
-        c1_pad.reshape((nrow + 1) * m, ncol, C, hidden)
-        .transpose(1, 0, 2, 3)
-        .reshape(ncol * (nrow + 1) * m, C, hidden)
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(nrow, ncol),
-        in_specs=[
-            pl.BlockSpec((R // f, C, hidden), lambda i, j: (j * nrow + i, 0, 0),
+    if z1mm:
+        # pre-gather the halo row into (m+1)-row blocks: block (i, j)
+        # covers c1 rows [i·m, i·m + m] inclusive — no second window and
+        # no in-kernel concatenate; one extra (m+1)/m copy host-side
+        idx = (
+            np.arange(nrow)[:, None] * m + np.arange(m + 1)[None, :]
+        ).reshape(-1)
+        c1_t = (
+            c1_pad[idx]
+            .reshape(nrow * (m + 1), ncol, C, hidden)
+            .transpose(1, 0, 2, 3)
+            .reshape(ncol * nrow * (m + 1), C, hidden)
+        )
+        # [A0 | A1] static row-upsample/interp matrices, tiled per step
+        k0 = R // f
+        a_np = np.zeros((R, k0 + m + 1), np.float32)
+        for r in range(R):
+            a_np[r, r // f] = 1.0
+            fu_ = (r % f1) / f1  # k/f1, f1 a power of two — bf16-exact
+            a_np[r, k0 + r // f1] = 1.0 - fu_
+            a_np[r, k0 + r // f1 + 1] += fu_
+        a_t = jnp.tile(jnp.asarray(a_np, pc.dtype), (steps, 1))
+        c1_specs = [
+            pl.BlockSpec((m + 1, C, hidden), lambda i, j: (j * nrow + i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, k0 + m + 1), lambda i, j: (i * ncol + j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        c1_ops = (c1_t, a_t)
+    else:
+        c1_t = (
+            c1_pad.reshape((nrow + 1) * m, ncol, C, hidden)
+            .transpose(1, 0, 2, 3)
+            .reshape(ncol * (nrow + 1) * m, C, hidden)
+        )
+        c1_specs = [
             pl.BlockSpec((m, C, hidden),
                          lambda i, j: (j * (nrow + 1) + i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -247,6 +316,15 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
             pl.BlockSpec((1, C, hidden),
                          lambda i, j: ((j * (nrow + 1) + i + 1) * m, 0, 0),
                          memory_space=pltpu.VMEM),
+        ]
+        c1_ops = (c1_t, c1_t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nrow, ncol),
+        in_specs=[
+            pl.BlockSpec((R // f, C, hidden), lambda i, j: (j * nrow + i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *c1_specs,
             pl.BlockSpec((R, hidden), lambda i, j: (i * ncol + j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, hidden), lambda i, j: (i * ncol + j, 0),
@@ -269,7 +347,7 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
             + n * nc * 3 * 4,
             transcendentals=0 if gelu == "poly" else 2 * n * nc * useful_h,
         ),
-    )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
+    )(pc_t, *c1_ops, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
     # untile: (OC, tile-major pixels) → [N, NC, 3] (one XLA transpose)
     if packed:
         # axis 0: [r,g,b] of even pixel, then [r,g,b] of odd pixel
@@ -363,8 +441,14 @@ def decode_image_fused_v2(
     pe_channels: int, use_tri_pe: bool = True, g1_quirk: bool = True,
     dtype=None, out_dtype=jnp.float32, block_rows: int | None = None,
     block_cols: int | None = None, gelu: str = "exact",
+    z1_matmul: bool | str = False,
 ):
-    """Full-image 2D fused decode, v2 rev2 (one Pallas kernel)."""
+    """Full-image 2D fused decode, v2 rev2 (one Pallas kernel).
+
+    ``z1_matmul``: route the z1 build (P row-upsample + C1 row-interp)
+    through the MXU instead of VPU element-ops (``_kernel_z1mm``);
+    ``"auto"`` enables it exactly when the lane-packed layout is active
+    (hidden = 128 post-pack, so the 2-D collapses are free)."""
     prep = _prepare_2d(
         fp, mlp, mip_level, image_size=image_size, mip_to_level=mip_to_level,
         pe_channels=pe_channels, use_tri_pe=use_tri_pe, dtype=dtype,
@@ -379,5 +463,6 @@ def decode_image_fused_v2(
         )
         return out.astype(out_dtype)
     pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    z1mm = geom["packed"] if z1_matmul == "auto" else bool(z1_matmul)
     return _call(pc, c1v, pe_u, w2, b2, w3, b3, out_dtype=out_dtype,
-                 gelu=gelu, **geom)
+                 gelu=gelu, z1mm=z1mm, **geom)

@@ -327,3 +327,77 @@ def test_fused_3d_lane_packed_multiblock():
     assert seen["packed"] is True
     np.testing.assert_allclose(got, want, atol=2e-5)
     np.testing.assert_allclose(got2, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("mip", [0, 1, 2, 4])
+def test_fused_v2_z1_matmul_parity(mip):
+    """z1_matmul routes the z1 build (P row-upsample + C1 row-interp)
+    through the MXU against static matrices; same values as the VPU
+    per-row kernel up to f32 summation order. Mips cover f ∈ {4, 2, 1}
+    and both fl levels."""
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size = 64
+    base = image_size // 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    fp, _ = create_pyramid(k1, base, channels=4, num_bits=8, ndim=2)
+    mip_to_level = pyramid_mip_levels(image_size, base)
+    pe = 4
+    mlp = init_mlp(k2, 4 * 5 + pe * 2 + 1, 16, 3)
+    kw = dict(image_size=image_size, mip_to_level=mip_to_level,
+              pe_channels=pe, use_tri_pe=True)
+    with pltpu.force_tpu_interpret_mode():
+        vpu = np.asarray(decode_image_fused_v2(fp, mlp, mip, **kw))
+        mxu = np.asarray(
+            decode_image_fused_v2(fp, mlp, mip, z1_matmul=True, **kw)
+        )
+    np.testing.assert_allclose(mxu, vpu, atol=1e-5)
+
+
+def test_fused_v2_z1_matmul_auto_packed():
+    """z1_matmul="auto" must resolve to the MXU kernel exactly on the
+    lane-packed geometry (hidden 64 → 128 post-pack) and stay bit-near
+    the XLA fast path there."""
+    import nic.kernels.decode_fused_v2 as v2mod
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size, base, c, pe, hidden = 128, 32, 12, 6, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, hidden, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, ndim=2)
+    )
+    seen = {}
+    orig = v2mod._call
+
+    def spy(*a, **kw):
+        seen["z1mm"] = kw.get("z1mm")
+        seen["packed"] = kw.get("packed")
+        return orig(*a, **kw)
+
+    v2mod._call = spy
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                decode_image_fused_v2(
+                    fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, z1_matmul="auto",
+                )
+            )
+            # multi-column-block grid: the pre-gathered halo blocks must
+            # tile correctly per column block too
+            got2 = np.asarray(
+                decode_image_fused_v2(
+                    fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, z1_matmul="auto", block_cols=64,
+                )
+            )
+    finally:
+        v2mod._call = orig
+    assert seen["packed"] is True and seen["z1mm"] is True
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got2, want, atol=2e-5)
