@@ -58,7 +58,7 @@ from nic.kernels.train_fused import (
     _rowreduce_sum,
 )
 
-__all__ = ["fused_train_ff", "ff_geometry"]
+__all__ = ["fused_train_ff", "ff_geometry", "eps_uniform"]
 
 # Classic-interpreter switch for CPU tests (see train_fused.INTERPRET).
 INTERPRET = False
@@ -66,6 +66,48 @@ INTERPRET = False
 
 def _padto(v: int, m: int) -> int:
     return -(-v // m) * m
+
+
+# ---------------------------------------------------------------------------
+# In-kernel feature-resolution QAT noise.
+#
+# The reference's default QAT mode draws iid uniform noise on every decoder
+# input feature ([N, F] per step — image_compression.py:250). kernel3 never
+# materializes that matrix, so the noise is drawn INSIDE the kernel from a
+# counter-based hash (pure jnp int32 ops — identical on TPU and the CPU
+# interpreters, unlike pltpu.prng_*, and exactly reproducible outside the
+# kernel for the autodiff parity tests): eps = u(hash(pixel·fslot + j)) with
+# u mapping 32 bits to [−0.5, 0.5)·2^−bits, the same distribution as
+# core.quant.qat_noise. A different stream than jax.random — accepted on the
+# same 320k-convergence-evidence basis as the rng_impl=rbg default
+# (BASELINE.md). z1 picks it up as eps·W1 (one MXU dot — the folded-basis
+# identity (x+ε)W1 = xW1 + εW1), and dW1 picks up the missing εᵀ·dz1 term as
+# a second dot written to the grad tile.
+# ---------------------------------------------------------------------------
+
+
+def _mix32(x):
+    """lowbias32-style avalanche (int32, wrapping multiplies)."""
+    sr = jax.lax.shift_right_logical
+    x = x ^ sr(x, 16)
+    x = x * jnp.int32(0x21F0AAAD)
+    x = x ^ sr(x, 15)
+    x = x * jnp.int32(0x735A2D97)
+    x = x ^ sr(x, 15)
+    return x
+
+
+def eps_uniform(ctr, s0, s1, bits: int):
+    """Counter-hash uniform noise in [−0.5, 0.5)·2^−bits (f32).
+
+    ``ctr`` int32 array (unique per draw), ``s0``/``s1`` int32 scalars
+    (per-step stream id). Distribution parity with
+    ``core.quant.qat_noise``; stream differs by construction."""
+    x = _mix32(ctr ^ s0)
+    x = _mix32(x ^ s1)
+    m = jax.lax.shift_right_logical(x, 9) | jnp.int32(0x3F800000)
+    u = jax.lax.bitcast_convert_type(m, jnp.float32) - 1.5
+    return u * (2.0 ** (-bits))
 
 
 def ff_geometry(*, crops: int, n: int, rowsb: int, f: int, hidden: int,
@@ -88,13 +130,17 @@ def ff_geometry(*, crops: int, n: int, rowsb: int, f: int, hidden: int,
     )
 
 
-def _layout3(hidden: int, oc: int) -> dict:
+def _layout3(hidden: int, oc: int, fslot: int = 0) -> dict:
     """Row offsets of the packed parameter/grad tiles (lane width 2H).
 
     Parameter tile: [pe0 | pe1 | bvec | w2 | b2 | w3t | b3]; grad tile
     adds a loss row. pe0 is block-diagonal over lane halves (row o < 8 =
     W1_pe0[o] in lanes :H, row 8+o in lanes H:), pe1/bvec are duplicated
-    across halves, w2/w3t/b3 follow train_fused._layout2."""
+    across halves, w2/w3t/b3 follow train_fused._layout2.
+
+    ``fslot > 0`` (in-kernel feature noise): both tiles grow 2·fslot rows
+    at ``w1n`` — the FULL W1 in block-diagonal lane halves on the way in,
+    the εᵀ·dz1 dW1 contribution on the way out."""
     o = {}
     o["pe0"] = 0
     o["pe1"] = 16
@@ -104,8 +150,10 @@ def _layout3(hidden: int, oc: int) -> dict:
     o["w3t"] = o["b2"] + 8
     o["b3"] = o["w3t"] + 8
     o["loss"] = o["b3"] + 8
-    o["rows_in"] = o["loss"]
-    o["rows_out"] = o["loss"] + 8
+    o["w1n"] = o["loss"] + 8
+    rows = o["w1n"] + 2 * fslot if fslot else o["loss"]
+    o["rows_in"] = rows if fslot else o["loss"]
+    o["rows_out"] = rows if fslot else o["loss"] + 8
     return o
 
 
@@ -189,9 +237,10 @@ def _kernel_ff(org_ref, pm_ref, ph_ref, c1m_ref, c1a_ref, c1b_ref, tgta_ref,
                scrr_ref, scrd_ref, *, cd, inv_total: float, gelu: str,
                hidden: int, oc: int, npe: int, lodf: float, lay: tuple,
                rowsb: int, n: int, f: int, f1: int, mh0: int, mh1: int,
-               nr0: int, nc0: int, pc0: int, nr1: int, nc1: int, pc1: int):
+               nr0: int, nc0: int, pc0: int, nr1: int, nc1: int, pc1: int,
+               nbits: int | None = None, fslot: int = 0, bpc: int = 0):
     f32 = jnp.float32
-    (o_pe0, o_pe1, o_bv, o_w2, o_b2, o_w3t, o_b3, o_loss) = lay
+    (o_pe0, o_pe1, o_bv, o_w2, o_b2, o_w3t, o_b3, o_loss, o_w1n) = lay
     h2w = 2 * hidden
     crop = pl.program_id(0)
     bp = pl.program_id(1)
@@ -246,6 +295,26 @@ def _kernel_ff(org_ref, pm_ref, ph_ref, c1m_ref, c1a_ref, c1b_ref, tgta_ref,
              + pk[o_bv : o_bv + 1, :][None, :, :])
     z1 = z1_3d.reshape(rowsb * n, h2w)
 
+    # ---- in-kernel feature-resolution QAT noise (module doc above) ----
+    eps_cd = None
+    if nbits is not None:
+        R2 = rowsb * n
+        slot2 = 2 * fslot
+        irow = jax.lax.broadcasted_iota(jnp.int32, (R2, slot2), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R2, slot2), 1)
+        half = jnp.where(lane >= fslot, jnp.int32(1), jnp.int32(0))
+        j = lane - fslot * half
+        # gid = flat pixel index in (crop, row-major) order — the same
+        # order as the gather path's [N, F] rows, so the parity tests can
+        # rebuild ε outside the kernel with arange
+        gid = (crop * bpc + 2 * bp + half) * R2 + irow
+        eps = eps_uniform(gid * fslot + j, org_ref[pl.num_programs(0), 0],
+                          org_ref[pl.num_programs(0), 1], nbits)
+        eps_cd = eps.astype(cd)
+        z1 = z1 + jnp.dot(
+            eps_cd, pk[o_w1n : o_w1n + slot2, :].astype(cd),
+            preferred_element_type=f32)
+
     # ---- MLP tail fwd + MSE + bwd (train_fused._mlp_core2 sans layer 1) --
     h1, aux1 = _gelu_fwd(z1, gelu)
     h1b = h1.astype(cd)
@@ -288,6 +357,12 @@ def _kernel_ff(org_ref, pm_ref, ph_ref, c1m_ref, c1a_ref, c1b_ref, tgta_ref,
     gk_ref[0, o_pe1 : o_pe1 + 8, :] = jax.lax.dot_general(
         tcol, colsum, (((0,), (0,)), ((), ())), preferred_element_type=f32)
     gk_ref[0, o_bv : o_bv + 1, :] = jnp.sum(dz1, axis=0, keepdims=True)
+    if nbits is not None:
+        # dW1 = (x+ε)ᵀ·dz1: the xᵀ part comes from the node-plane unfold;
+        # this is the εᵀ·dz1 remainder (lane halves folded at extraction)
+        gk_ref[0, o_w1n : o_w1n + 2 * fslot, :] = jax.lax.dot_general(
+            eps_cd, dz1.astype(cd), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
 
     # ---- node-resolution grid cotangents (kernel2's packed reductions) --
     dp = _rowreduce_sum(
@@ -312,10 +387,11 @@ def _kernel_ff(org_ref, pm_ref, ph_ref, c1m_ref, c1a_ref, c1b_ref, tgta_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("crops", "n", "rowsb", "f", "npe", "lodf",
-                     "matmul_dtype", "gelu", "interpret"))
-def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, *, crops: int,
-             n: int, rowsb: int, f: int, npe: int, lodf: float,
-             matmul_dtype, gelu: str = "erf", interpret: bool = False):
+                     "matmul_dtype", "gelu", "interpret", "nbits"))
+def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, seed, *,
+             crops: int, n: int, rowsb: int, f: int, npe: int, lodf: float,
+             matmul_dtype, gelu: str = "erf", interpret: bool = False,
+             nbits: int | None = None):
     f32 = jnp.float32
     cd = matmul_dtype or f32
     hidden = w2.shape[0]
@@ -340,7 +416,9 @@ def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, *, crops: int,
     nc1 = n // f1 + 2
     pc0 = _pad8(nc0)
     pc1 = _pad8(nc1)
-    lay = _layout3(hidden, oc)
+    nfeat = 5 * ch + 2 * npe + 1
+    fslot = _pad8(nfeat) if nbits is not None else 0
+    lay = _layout3(hidden, oc, fslot)
 
     # ---- fold the first layer into the grids (node resolution) ----
     corners = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -413,6 +491,16 @@ def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, *, crops: int,
         jnp.broadcast_to(b3f[:, None], (oc, h2w)))
     pk = pk.at[lay["b3"] + oc : lay["b3"] + 2 * oc].set(
         jnp.broadcast_to(b3f[:, None], (oc, h2w)))
+    orgs = origins.astype(jnp.int32)
+    if nbits is not None:
+        # full W1 in block-diagonal lane halves for the ε·W1 noise dot
+        w1f = w1.astype(f32)
+        pk = pk.at[lay["w1n"] : lay["w1n"] + nfeat, :hidden].set(w1f)
+        pk = pk.at[lay["w1n"] + fslot : lay["w1n"] + fslot + nfeat,
+                   hidden:].set(w1f)
+        # per-step stream id rides as one extra scalar-prefetch row
+        # (read at org_ref[num_programs(0)] — no index_map changes)
+        orgs = jnp.concatenate([orgs, seed.reshape(1, 2)], axis=0)
     pkt = jnp.tile(pk[None], (steps2, 1, 1))
 
     tgt_t = tgt.T
@@ -421,9 +509,10 @@ def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, *, crops: int,
         _kernel_ff, cd=cd, inv_total=1.0 / (n_total * oc), gelu=gelu,
         hidden=hidden, oc=oc, npe=npe, lodf=lodf,
         lay=(lay["pe0"], lay["pe1"], lay["bv"], lay["w2"], lay["b2"],
-             lay["w3t"], lay["b3"], lay["loss"]),
+             lay["w3t"], lay["b3"], lay["loss"], lay["w1n"]),
         rowsb=rowsb, n=n, f=f, f1=f1, mh0=mh0, mh1=mh1, nr0=nr0, nc0=nc0,
-        pc0=pc0, nr1=nr1, nc1=nc1, pc1=pc1,
+        pc0=pc0, nr1=nr1, nc1=nc1, pc1=pc1, nbits=nbits, fslot=fslot,
+        bpc=B,
     )
     rb0 = rpc0 // mh0
     rb1 = rpc1 // mh1
@@ -481,25 +570,28 @@ def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, *, crops: int,
                             + 2 * n_total * oc) * 4,
             transcendentals=0 if gelu == "poly" else 4 * n_total * hidden,
         ),
-    )(origins.astype(jnp.int32), pw_all, pw_all, c1w_all, c1w_all, c1w_all,
+    )(orgs, pw_all, pw_all, c1w_all, c1w_all, c1w_all,
       tgt_t, tgt_t, pkt)
 
     # unpack lane halves back to the standard layouts
     out_t = jnp.stack([out_p[:oc], out_p[oc:]], axis=0)
     out_t = out_t.reshape(2, oc, steps2, R).transpose(1, 2, 0, 3).reshape(
         oc, n_total)
-    loss, dw2, db2, dw3, db3, dpe0, dpe1, db1 = _extract_ff(
-        gk, lay, hidden, oc, npe)
+    loss, dw2, db2, dw3, db3, dpe0, dpe1, db1, dw1e = _extract_ff(
+        gk, lay, hidden, oc, npe, nfeat, fslot)
     dp_u = jnp.stack([dp[..., :hidden], dp[..., hidden:]], axis=1).reshape(
         steps2 * 2, nr0, pc0, hidden)
     dc1_u = jnp.stack([dc1[..., :hidden], dc1[..., hidden:]],
                       axis=1).reshape(steps2 * 2, nr1, pc1, hidden)
-    return (loss, out_t.T, dw2, db2, dw3, db3, dpe0, dpe1, db1, dp_u, dc1_u)
+    return (loss, out_t.T, dw2, db2, dw3, db3, dpe0, dpe1, db1, dp_u, dc1_u,
+            dw1e)
 
 
-def _extract_ff(gk, lay: dict, hidden: int, oc: int, npe: int):
+def _extract_ff(gk, lay: dict, hidden: int, oc: int, npe: int,
+                nfeat: int = 0, fslot: int = 0):
     """Sum per-step grad tiles and fold lane halves; returns
-    (loss, dw2, db2, dw3, db3, dpe0, dpe1, db1)."""
+    (loss, dw2, db2, dw3, db3, dpe0, dpe1, db1, dw1e) — ``dw1e`` is the
+    εᵀ·dz1 W1 contribution (None when feature noise is off)."""
     h2w = 2 * hidden
     g = jnp.sum(gk, axis=0)
     loss = jnp.sum(gk[:, lay["loss"], 0])
@@ -515,7 +607,11 @@ def _extract_ff(gk, lay: dict, hidden: int, oc: int, npe: int):
     dpe1 = (g[lay["pe1"] : lay["pe1"] + npe, :hidden]
             + g[lay["pe1"] : lay["pe1"] + npe, hidden:])
     db1 = g[lay["bv"], :hidden] + g[lay["bv"], hidden:]
-    return loss, dw2, db2, dw3, db3, dpe0, dpe1, db1
+    dw1e = None
+    if fslot:
+        dw1e = (g[lay["w1n"] : lay["w1n"] + nfeat, :hidden]
+                + g[lay["w1n"] + fslot : lay["w1n"] + fslot + nfeat, hidden:])
+    return loss, dw2, db2, dw3, db3, dpe0, dpe1, db1, dw1e
 
 
 def _unfold_ff(dp, dc1, origins, g0, g1, w1, db1, dpe0, dpe1, *,
@@ -572,52 +668,60 @@ def _unfold_ff(dp, dc1, origins, g0, g1, w1, db1, dpe0, dpe1, *,
     return dg0, dg1, dw1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11,
-                                                    12))
-def fused_train_ff(g0, g1, mlp: dict, tgt, origins, crops: int, n: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12,
+                                                    13, 14))
+def fused_train_ff(g0, g1, mlp: dict, tgt, origins, seed, crops: int, n: int,
                    rowsb: int, f: int, npe: int, lodf: float,
-                   matmul_dtype=None, gelu: str = "erf"):
+                   matmul_dtype=None, gelu: str = "erf",
+                   noise_bits: int | None = None):
     """(loss, out) of the flagship train objective with the FEATURE BUILD
     fused into the kernel: no [N, F] matrix exists anywhere (forward or
-    backward). ``g0``/``g1``: the active (already QAT-noised) grids, whose
-    VALUES drive the fold and the W1 gradient; all their gradients and the
-    full MLP gradient are hand-built (node-resolution planes + tiny
-    contractions). ``origins``: [crops, 2] int32 crop origins. Geometry
-    must satisfy :func:`ff_geometry`; triangular PE only.
+    backward). ``g0``/``g1``: the active (possibly node-noised) grids,
+    whose VALUES drive the fold and the W1 gradient; all their gradients
+    and the full MLP gradient are hand-built (node-resolution planes +
+    tiny contractions). ``origins``: [crops, 2] int32 crop origins.
+    ``noise_bits`` ≠ None: feature-resolution QAT noise is drawn INSIDE
+    the kernel (``eps_uniform`` stream seeded by ``seed`` [2] int32 —
+    pass zeros when off). Geometry must satisfy :func:`ff_geometry`;
+    triangular PE only.
 
     Matches the reference's per-epoch loss and gradients
     (image_compression.py:239-267) to summation-order rounding — the
     parity tests drive this against the gather+autodiff path."""
     res = _impl_ff(
         g0, g1, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"], mlp["w3"],
-        mlp["b3"], tgt, origins, crops=crops, n=n, rowsb=rowsb, f=f,
+        mlp["b3"], tgt, origins, seed, crops=crops, n=n, rowsb=rowsb, f=f,
         npe=npe, lodf=lodf, matmul_dtype=matmul_dtype, gelu=gelu,
-        interpret=INTERPRET)
+        interpret=INTERPRET, nbits=noise_bits)
     return res[0], res[1]
 
 
-def _fwd_ff(g0, g1, mlp, tgt, origins, crops, n, rowsb, f, npe, lodf,
-            matmul_dtype, gelu):
-    (loss, out, dw2, db2, dw3, db3, dpe0, dpe1, db1, dp, dc1) = _impl_ff(
+def _fwd_ff(g0, g1, mlp, tgt, origins, seed, crops, n, rowsb, f, npe, lodf,
+            matmul_dtype, gelu, noise_bits):
+    (loss, out, dw2, db2, dw3, db3, dpe0, dpe1, db1, dp, dc1,
+     dw1e) = _impl_ff(
         g0, g1, mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"], mlp["w3"],
-        mlp["b3"], tgt, origins, crops=crops, n=n, rowsb=rowsb, f=f,
+        mlp["b3"], tgt, origins, seed, crops=crops, n=n, rowsb=rowsb, f=f,
         npe=npe, lodf=lodf, matmul_dtype=matmul_dtype, gelu=gelu,
-        interpret=INTERPRET)
+        interpret=INTERPRET, nbits=noise_bits)
     res = (dw2, db2, dw3, db3, dpe0, dpe1, db1, dp, dc1, origins,
-           mlp["w1"], g0, g1)
+           mlp["w1"], g0, g1, dw1e, seed)
     return (loss, out), res
 
 
-def _bwd_ff(crops, n, rowsb, f, npe, lodf, matmul_dtype, gelu, res, cot):
+def _bwd_ff(crops, n, rowsb, f, npe, lodf, matmul_dtype, gelu, noise_bits,
+            res, cot):
     import numpy as np
 
     (dw2, db2, dw3, db3, dpe0, dpe1, db1, dp, dc1, origins, w1, g0,
-     g1) = res
+     g1, dw1e, seed) = res
     g_loss, _ = cot
     oc = dw3.shape[1]
     dg0, dg1, dw1 = _unfold_ff(
         dp, dc1, origins, g0, g1, w1, db1, dpe0, dpe1, crops=crops, n=n,
         rowsb=rowsb, f=f, npe=npe, lodf=lodf, channels=g0.shape[0])
+    if dw1e is not None:
+        dw1 = dw1 + dw1e
     dmlp = {
         "w1": dw1 * g_loss, "b1": db1 * g_loss,
         "w2": dw2 * g_loss, "b2": db2 * g_loss,
@@ -625,7 +729,8 @@ def _bwd_ff(crops, n, rowsb, f, npe, lodf, matmul_dtype, gelu, res, cot):
     }
     return (dg0 * g_loss, dg1 * g_loss, dmlp,
             jnp.zeros((crops * n * n, oc), jnp.float32),
-            np.zeros(origins.shape, jax.dtypes.float0))
+            np.zeros(origins.shape, jax.dtypes.float0),
+            np.zeros(seed.shape, jax.dtypes.float0))
 
 
 fused_train_ff.defvjp(_fwd_ff, _bwd_ff)

@@ -268,8 +268,11 @@ class NTCTrainer:
         # P/C1 windows + in-kernel triangular PE, and dW1 comes from the
         # node planes contracted with the grid values; no [N, F] matrix
         # exists in either direction (nic.kernels.train_fused_ff). Gated
-        # to the 2D dense-G0 lattice with tri-PE and node noise (feature
-        # noise needs the materialized matrix); falls back to kernel2.
+        # to the 2D dense-G0 lattice with tri-PE. Under the default
+        # feature-resolution QAT noise, ε is drawn INSIDE the kernel
+        # (train_fused_ff.eps_uniform — a counter-hash stream; same
+        # distribution as core.quant.qat_noise, different stream, the
+        # rng_impl=rbg precedent).
         noise_node = cfg.qat_noise_where == "node"
 
         def _k3_gate(crops_eff: int):
@@ -277,7 +280,7 @@ class NTCTrainer:
             from nic.kernels.train_fused_ff import ff_geometry
 
             if not (ndim == 2 and not sparse_g0 and use_tri_pe
-                    and 0 < step <= 1 and (noise_node or frozen)
+                    and 0 < step <= 1
                     and cfg.pe_channels <= 8 and crops_eff >= 1
                     and len(set(data_hw)) == 1):
                 return False, None, None
@@ -442,16 +445,26 @@ class NTCTrainer:
                 from nic.kernels.train_fused_ff import fused_train_ff
 
                 fpc = tuple(g.astype(dtype) for g in fp)
+                nbits = None
+                seed = jnp.zeros((2,), jnp.int32)
                 if not frozen and noise_node:
                     fpc = noised_grids(fpc, noise_key)
+                elif not frozen:
+                    # feature-resolution noise drawn in-kernel: the key's
+                    # raw words seed the counter-hash stream per step
+                    nbits = cfg.fp_bits
+                    kd = jax.random.key_data(noise_key).reshape(-1)
+                    kd = jax.lax.bitcast_convert_type(kd, jnp.int32)
+                    seed = (kd[:2] if kd.shape[0] == 2
+                            else kd[:2] ^ kd[2:4])
                 tgt = targets_of(origins)
                 # grid + FULL MLP grads are hand-built inside the
                 # primitive (node planes + tiny contractions); the noise
                 # add above routes d(noised) → d(raw) by identity
                 loss, out = fused_train_ff(
-                    fpc[fl * 2], fpc[fl * 2 + 1], mlp, tgt, origins,
+                    fpc[fl * 2], fpc[fl * 2 + 1], mlp, tgt, origins, seed,
                     num_crops, n, k3_rowsb, k3_f, cfg.pe_channels,
-                    float(lod), matmul_dtype, train_gelu,
+                    float(lod), matmul_dtype, train_gelu, nbits,
                 )
                 return loss, (out, tgt)
             if use_kernel2:

@@ -557,7 +557,8 @@ def test_fused_ff_matches_gather_autodiff(n, step, data_size, crops, rowsb):
         ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
 
     def ff_loss(g0g1, m):
-        return fused_train_ff(g0g1[0], g0g1[1], m, tgt, origins,
+        seed = jnp.zeros((2,), jnp.int32)
+        return fused_train_ff(g0g1[0], g0g1[1], m, tgt, origins, seed,
                               crops, n, rowsb, f, pe, 0.0, None, "erf")
 
     with pltpu.force_tpu_interpret_mode():
@@ -599,9 +600,10 @@ def test_trainer_kernel3_matches_gather():
     np.testing.assert_allclose(res["gather"], res["kernel3"], rtol=1e-3)
 
 
-def test_trainer_kernel3_feature_noise_falls_back():
-    """kernel3 needs node-resolution noise (feature noise requires the
-    materialized [N, F] matrix) — the gate must fall back to kernel2."""
+def test_trainer_kernel3_feature_noise_in_kernel():
+    """kernel3 under the DEFAULT feature-resolution noise: ε is drawn
+    inside the kernel (eps_uniform counter-hash). The gate must engage in
+    both phases and training must make progress."""
     from nic.cli.image_compression import load_asset
     from nic.config import CompressionConfig
     from nic.train.ntc import NTCTrainer
@@ -613,10 +615,83 @@ def test_trainer_kernel3_feature_noise_falls_back():
     )
     tr = NTCTrainer(cfg, load_asset(cfg))
     tr._build_step(0, frozen=False, jit=False)
-    assert tr._forward_mode == "kernel2"
-    # frozen phase applies no noise — kernel3 re-engages
+    assert tr._forward_mode == "kernel3"
     tr._build_step(0, frozen=True, jit=False)
     assert tr._forward_mode == "kernel3"
+    with pltpu.force_tpu_interpret_mode():
+        losses, _ = tr.train_many(10, chunk=5)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("n,step,data_size,crops,rowsb", [
+    (16, 0.25, 64, 2, 8),   # f=4, f1=8 (flagship shape class)
+    (16, 1.0, 32, 2, 8),    # f=1, f1=2 (node-per-pixel mip)
+])
+def test_fused_ff_feature_noise_matches_external_eps(n, step, data_size,
+                                                     crops, rowsb):
+    """In-kernel feature noise parity: rebuild the EXACT ε stream outside
+    the kernel (eps_uniform on the flat pixel×feature counter grid), add
+    it to the gather-path features, and require loss/out/all grads to
+    match the fused path — this pins the counter layout, the ε·W1 forward
+    dot, and the εᵀ·dz1 dW1 term."""
+    from nic.kernels.train_fused_ff import (eps_uniform, ff_geometry,
+                                            fused_train_ff)
+
+    C, pe = 4, 2
+    bits = 8
+    g0, g1, mlp, origins, tgt, features, f = _ng_setup(
+        23, C, pe, n, step, data_size, crops)
+    assert ff_geometry(crops=crops, n=n, rowsb=rowsb, f=f,
+                       hidden=mlp["w2"].shape[0], pe_channels=pe)
+    nfeat = 5 * C + 2 * pe + 1
+    fslot = -(-nfeat // 8) * 8
+    npix = crops * n * n
+    seed = jnp.array([12345, -987654321], jnp.int32)
+    ctr = (jnp.arange(npix, dtype=jnp.int32)[:, None] * fslot
+           + jnp.arange(nfeat, dtype=jnp.int32)[None, :])
+    eps_ref = eps_uniform(ctr, seed[0], seed[1], bits)
+    # sanity: the stream is zero-mean uniform at the right scale
+    assert abs(float(eps_ref.mean())) < 2e-3 / 2**bits * 50
+    assert float(eps_ref.max()) <= 0.5 / 2**bits
+    assert float(eps_ref.min()) >= -0.5 / 2**bits
+    assert float(eps_ref.std()) == pytest.approx(
+        (1.0 / 12.0) ** 0.5 / 2**bits, rel=0.05)
+
+    def ref_loss(g0g1, m):
+        x = features(g0g1) + eps_ref
+        out = apply_mlp(m, x, matmul_dtype=None)
+        return jnp.mean((out - tgt) ** 2), out
+
+    (l0, o0), ((dg0_0, dg1_0), gm0) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    def ff_loss(g0g1, m):
+        return fused_train_ff(g0g1[0], g0g1[1], m, tgt, origins, seed,
+                              crops, n, rowsb, f, pe, 0.0, None, "erf",
+                              bits)
+
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), ((dg0_1, dg1_1), gm1) = jax.value_and_grad(
+            ff_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    assert abs(float(l0 - l1)) / float(l0) < 1e-5
+    assert float(jnp.abs(o0 - o1).max()) < 1e-5
+    for a, b, tag in ((dg0_0, dg0_1, "dg0"), (dg1_0, dg1_1, "dg1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12))
+        assert rel < 1e-4, (tag, rel)
+    for k in gm0:
+        rel = float(jnp.abs(gm0[k] - gm1[k]).max()
+                    / (jnp.abs(gm0[k]).max() + 1e-12))
+        assert rel < 1e-4, (k, rel)
+
+    # reproducibility: same seed → identical loss; new seed → different
+    with pltpu.force_tpu_interpret_mode():
+        l2, _ = ff_loss((g0, g1), mlp)
+        seed = jnp.array([7, 8], jnp.int32)
+        l3, _ = ff_loss((g0, g1), mlp)
+    assert float(l1) == float(l2)
+    assert float(l3) != float(l1)
 
 
 def test_trainer_kernel3_freeze_boundary_matches_gather():
