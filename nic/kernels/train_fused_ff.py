@@ -306,10 +306,14 @@ def _kernel_ff(org_ref, pm_ref, ph_ref, c1m_ref, c1a_ref, c1b_ref, tgta_ref,
         j = lane - fslot * half
         # gid = flat pixel index in (crop, row-major) order — the same
         # order as the gather path's [N, F] rows, so the parity tests can
-        # rebuild ε outside the kernel with arange
-        gid = (crop * bpc + 2 * bp + half) * R2 + irow
-        eps = eps_uniform(gid * fslot + j, org_ref[pl.num_programs(0), 0],
-                          org_ref[pl.num_programs(0), 1], nbits)
+        # rebuild ε outside the kernel with arange. The seed payload's
+        # third word is a pixel-index base: under shard_map each device
+        # passes didx·crops_local·n² so the sharded stream is
+        # BIT-IDENTICAL to the single-device one.
+        sp = pl.num_programs(0)
+        gid = (crop * bpc + 2 * bp + half) * R2 + irow + org_ref[sp + 1, 0]
+        eps = eps_uniform(gid * fslot + j, org_ref[sp, 0],
+                          org_ref[sp, 1], nbits)
         eps_cd = eps.astype(cd)
         z1 = z1 + jnp.dot(
             eps_cd, pk[o_w1n : o_w1n + slot2, :].astype(cd),
@@ -498,9 +502,10 @@ def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, seed, *,
         pk = pk.at[lay["w1n"] : lay["w1n"] + nfeat, :hidden].set(w1f)
         pk = pk.at[lay["w1n"] + fslot : lay["w1n"] + fslot + nfeat,
                    hidden:].set(w1f)
-        # per-step stream id rides as one extra scalar-prefetch row
-        # (read at org_ref[num_programs(0)] — no index_map changes)
-        orgs = jnp.concatenate([orgs, seed.reshape(1, 2)], axis=0)
+        # the stream id [s0, s1] + pixel base ride as two extra
+        # scalar-prefetch rows (read at org_ref[num_programs(0)] and the
+        # row after — no index_map changes)
+        orgs = jnp.concatenate([orgs, seed.reshape(2, 2)], axis=0)
     pkt = jnp.tile(pk[None], (steps2, 1, 1))
 
     tgt_t = tgt.T
@@ -681,8 +686,10 @@ def fused_train_ff(g0, g1, mlp: dict, tgt, origins, seed, crops: int, n: int,
     and the full MLP gradient are hand-built (node-resolution planes +
     tiny contractions). ``origins``: [crops, 2] int32 crop origins.
     ``noise_bits`` ≠ None: feature-resolution QAT noise is drawn INSIDE
-    the kernel (``eps_uniform`` stream seeded by ``seed`` [2] int32 —
-    pass zeros when off). Geometry must satisfy :func:`ff_geometry`;
+    the kernel (``eps_uniform`` stream) from ``seed`` [4] int32 =
+    [s0, s1, pixel_base, 0] — pass zeros when off; ``pixel_base`` offsets
+    the flat pixel counter so shard_map'ed devices reproduce the exact
+    single-device stream. Geometry must satisfy :func:`ff_geometry`;
     triangular PE only.
 
     Matches the reference's per-epoch loss and gradients

@@ -65,6 +65,19 @@ class UniformLodSchedule:
         return False
 
 
+def _k3_seed(noise_key, pixel_base):
+    """[s0, s1, pixel_base, 0] int32 seed payload for kernel3's in-kernel
+    feature-noise stream (train_fused_ff.eps_uniform). ``pixel_base``
+    offsets the flat pixel counter — shard_map devices pass
+    didx·pixels_local so the sharded stream is bit-identical to the
+    single-device one."""
+    kd = jax.random.key_data(noise_key).reshape(-1)
+    kd = jax.lax.bitcast_convert_type(kd, jnp.int32)
+    s = kd[:2] if kd.shape[0] == 2 else kd[:2] ^ kd[2:4]
+    return jnp.concatenate(
+        [s, jnp.stack([jnp.int32(pixel_base), jnp.int32(0)])])
+
+
 def sample_lod(rng: np.random.Generator, uniform: bool, max_mip: int) -> int:
     """LOD draw (image_compression.py:29-34): uniform over [0, max_mip] or
     exponential floor(-log2(U)/2) clamped."""
@@ -314,15 +327,21 @@ class NTCTrainer:
         # 'pixel' mesh axis (if any) duplicates compute (kernel blocks
         # are not pixel-sharded); typical training meshes are data-only.
         use_kernel_sharded = False
+        use_k3_sharded = False
         ks_rowsb = ks_f = None
         data_axis_size = 1
         if mesh is not None and forward in ("kernel2", "kernel3"):
             data_axis_size = int(mesh.shape.get("data", 1))
             if num_crops % data_axis_size == 0:
-                use_kernel_sharded, ks_rowsb, ks_f = _k2_gate(
-                    num_crops // data_axis_size)
+                crops_loc = num_crops // data_axis_size
+                if forward == "kernel3":
+                    use_k3_sharded, ks_rowsb, ks_f = _k3_gate(crops_loc)
+                if not use_k3_sharded:
+                    use_kernel_sharded, ks_rowsb, ks_f = _k2_gate(crops_loc)
+        any_sharded = use_kernel_sharded or use_k3_sharded
         # introspection for tests/debugging: which forward actually engaged
-        self._forward_mode = ("kernel2_sharded" if use_kernel_sharded else
+        self._forward_mode = ("kernel3_sharded" if use_k3_sharded else
+                              "kernel2_sharded" if use_kernel_sharded else
                               "kernel3" if use_kernel3 else
                               "kernel2" if use_kernel2 else
                               "kernel" if use_kernel else
@@ -446,17 +465,14 @@ class NTCTrainer:
 
                 fpc = tuple(g.astype(dtype) for g in fp)
                 nbits = None
-                seed = jnp.zeros((2,), jnp.int32)
+                seed = jnp.zeros((4,), jnp.int32)
                 if not frozen and noise_node:
                     fpc = noised_grids(fpc, noise_key)
                 elif not frozen:
                     # feature-resolution noise drawn in-kernel: the key's
                     # raw words seed the counter-hash stream per step
                     nbits = cfg.fp_bits
-                    kd = jax.random.key_data(noise_key).reshape(-1)
-                    kd = jax.lax.bitcast_convert_type(kd, jnp.int32)
-                    seed = (kd[:2] if kd.shape[0] == 2
-                            else kd[:2] ^ kd[2:4])
+                    seed = _k3_seed(noise_key, jnp.int32(0))
                 tgt = targets_of(origins)
                 # grid + FULL MLP grads are hand-built inside the
                 # primitive (node planes + tiny contractions); the noise
@@ -503,7 +519,7 @@ class NTCTrainer:
 
         tx_fp, tx_mlp = self._tx_fp, self._tx_mlp
 
-        if use_kernel_sharded:
+        if any_sharded:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
@@ -517,7 +533,39 @@ class NTCTrainer:
             def _inner(fp, mlp, origins_l, noise_key):
                 didx = jax.lax.axis_index("data")
 
+                def local_loss_k3(fp_, mlp_):
+                    # kernel3 per device: feature-free fused step on the
+                    # local crop shard; grads pmean'd by the caller. The
+                    # in-kernel noise stream gets didx·npix_l as its
+                    # pixel base — bit-identical to single-device.
+                    from nic.kernels.train_fused_ff import fused_train_ff
+
+                    fpc = tuple(g.astype(dtype) for g in fp_)
+                    nbits = None
+                    seed = jnp.zeros((4,), jnp.int32)
+                    if not frozen and noise_node:
+                        fpc = noised_grids(fpc, noise_key)
+                    elif not frozen:
+                        nbits = cfg.fp_bits
+                        seed = _k3_seed(noise_key, didx * npix_l)
+
+                    def tone(origin):
+                        sizes = (3,) + (n,) * ndim
+                        start = (jnp.zeros((), jnp.int32),) + tuple(origin)
+                        return jax.lax.dynamic_slice(dataset, start, sizes)
+
+                    t = jax.vmap(tone)(origins_l)
+                    tgt = jnp.moveaxis(t, 1, -1).reshape(-1, 3)
+                    loss, out = fused_train_ff(
+                        fpc[fl * 2], fpc[fl * 2 + 1], mlp_, tgt, origins_l,
+                        seed, crops_l, n, ks_rowsb, ks_f, cfg.pe_channels,
+                        float(lod), matmul_dtype, train_gelu, nbits,
+                    )
+                    return loss, (out, tgt)
+
                 def local_loss(fp_, mlp_):
+                    if use_k3_sharded:
+                        return local_loss_k3(fp_, mlp_)
                     fpc = tuple(g.astype(dtype) for g in fp_)
                     if not frozen and noise_node:
                         fpc = noised_grids(fpc, noise_key)
@@ -586,7 +634,7 @@ class NTCTrainer:
                 k_crop, (num_crops, ndim), 0,
                 jnp.asarray([d - n + 1 for d in data_hw], jnp.int32),
             )
-            if use_kernel_sharded:
+            if any_sharded:
                 loss, out, tgt, grads = sharded_grads(
                     fp, mlp, origins, k_noise)
                 if frozen:

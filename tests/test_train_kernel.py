@@ -557,7 +557,7 @@ def test_fused_ff_matches_gather_autodiff(n, step, data_size, crops, rowsb):
         ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
 
     def ff_loss(g0g1, m):
-        seed = jnp.zeros((2,), jnp.int32)
+        seed = jnp.zeros((4,), jnp.int32)
         return fused_train_ff(g0g1[0], g0g1[1], m, tgt, origins, seed,
                               crops, n, rowsb, f, pe, 0.0, None, "erf")
 
@@ -647,7 +647,7 @@ def test_fused_ff_feature_noise_matches_external_eps(n, step, data_size,
     nfeat = 5 * C + 2 * pe + 1
     fslot = -(-nfeat // 8) * 8
     npix = crops * n * n
-    seed = jnp.array([12345, -987654321], jnp.int32)
+    seed = jnp.array([12345, -987654321, 0, 0], jnp.int32)
     ctr = (jnp.arange(npix, dtype=jnp.int32)[:, None] * fslot
            + jnp.arange(nfeat, dtype=jnp.int32)[None, :])
     eps_ref = eps_uniform(ctr, seed[0], seed[1], bits)
@@ -688,7 +688,7 @@ def test_fused_ff_feature_noise_matches_external_eps(n, step, data_size,
     # reproducibility: same seed → identical loss; new seed → different
     with pltpu.force_tpu_interpret_mode():
         l2, _ = ff_loss((g0, g1), mlp)
-        seed = jnp.array([7, 8], jnp.int32)
+        seed = jnp.array([7, 8, 0, 0], jnp.int32)
         l3, _ = ff_loss((g0, g1), mlp)
     assert float(l1) == float(l2)
     assert float(l3) != float(l1)
@@ -714,3 +714,44 @@ def test_trainer_kernel3_freeze_boundary_matches_gather():
         assert tr.state.frozen
         res[fwd] = np.asarray(losses)
     np.testing.assert_allclose(res["gather"], res["kernel3"], rtol=2e-3)
+
+
+def test_trainer_kernel3_sharded_matches_single():
+    """kernel3 under a mesh: the feature-free fused step runs per device
+    over the crop shard with pmean'd grads, and the in-kernel noise
+    stream (seeded with didx·pixels_local as the counter base) is
+    BIT-IDENTICAL to the single-device stream — losses must match the
+    single-device kernel3 run under the default feature noise."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.parallel.mesh import make_mesh
+    from nic.train.ntc import NTCTrainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    cfg = lambda: CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+        mlp_num_dtype=16, image_path="data/sancho_512.png",
+        train_forward="kernel3", train_gelu="erf",
+        qat_noise_where="feature",
+    )
+    img = load_asset(cfg())
+
+    # classic pallas interpreter: TPU-interpret deadlocks inside shard_map
+    import nic.kernels.train_fused_ff as tff
+    tff.INTERPRET = True
+    try:
+        tr_single = NTCTrainer(cfg(), img)
+        losses_single, _ = tr_single.train_many(4, chunk=4)
+        assert tr_single._forward_mode == "kernel3"
+
+        mesh = make_mesh(8, data_axis=8)
+        with mesh:
+            tr_sh = NTCTrainer(cfg(), img, mesh=mesh)
+            losses_sh, _ = tr_sh.train_many(4, chunk=4)
+            assert tr_sh._forward_mode == "kernel3_sharded"
+    finally:
+        tff.INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_single), rtol=1e-5)
