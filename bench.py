@@ -191,20 +191,19 @@ def main() -> None:
     best_big = max(xla_big, fast_big)
     best_exact = best_big
     if on_tpu:
-        # honestly-labeled modes (round-3, BASELINE.md decode section):
-        # "exact-class" = within the u8 quantization step of exact-erf
-        # (measured ≤2 LSB / ≤0.0004 dB on the flagship artifact);
-        # "fast" = tanh GELU (≤4 u8 LSB / −0.002 dB)
+        # mode labels per the ROUND-4 19-cell u8-parity sweep
+        # (results/r4_gelu_parity.json; FP_BITS {8,4,2} × methods {1,3,4}
+        # × the 10-mip ladder, each vs the fp32 folded-XLA decode):
+        # exact-erf bf16 ≤ 3 LSB (the bf16-family floor); erfpoly is
+        # float-rounding-identical to exact-erf (|Δerf| ≤ 1.6e-7);
+        # poly ≤ 4 LSB and EXCEEDS the exact-erf envelope by 1–3 LSB in
+        # some cells — so since round 4 poly is labeled "near-exact"
+        # and no longer feeds value_exact (VERDICT r3 #3 relabeling);
+        # tanh (the fast mode) ≤ 7 LSB.
         for key, kw in (
             ("pallas_exact_2048_gpix_s", dict(dtype=jnp.bfloat16)),
             ("pallas_erfpoly_2048_gpix_s",
              dict(dtype=jnp.bfloat16, gelu="erfpoly")),
-            # "poly" (8-FMA even polynomial, |Δgelu| 3.6e-4 — a tenth of
-            # the u8 quantization step): on the flagship artifact it
-            # lands within 2 u8 LSB of the fp32 folded-XLA decode at
-            # PSNR identical to 0.0004 dB, where pallas exact-erf itself
-            # sits 1 LSB from that fp32 path (BASELINE.md round-3) —
-            # exact-class for any u8 output protocol
             ("pallas_poly_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="poly")),
             ("pallas_tanh_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="tanh")),
         ):
@@ -212,7 +211,7 @@ def main() -> None:
                 g = bench_decode("pallas", BENCH_SIZE, **kw)
                 result[key] = round(g, 4)
                 best_big = max(best_big, g)
-                if kw.get("gelu", "exact") != "tanh":
+                if kw.get("gelu", "exact") in ("exact", "erfpoly"):
                     best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
                 result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]
@@ -269,9 +268,11 @@ def main() -> None:
         # baseline = the unfused XLA graph (the shape of the reference's
         # own decode); the reference publishes no numbers (BASELINE.md)
         "vs_baseline": round(best_big / xla_big, 3),
-        # the headline mode is tanh-GELU (lossy: ≤4 u8 LSB, −0.002 dB);
-        # value_exact is the strongest u8-identical ("exact-class") mode
-        "value_mode": "tanh-gelu fast mode (−0.002 dB)",
+        # the headline mode is tanh-GELU (lossy: ≤7 u8 LSB across the
+        # round-4 19-cell sweep); value_exact is the strongest mode in
+        # the exact-erf accuracy class (exact/erfpoly — poly excluded
+        # since round 4, it exceeds that envelope by 1–3 LSB)
+        "value_mode": "tanh-gelu fast mode (≤7 u8 LSB, sweep r4)",
         "value_exact": round(best_exact, 4),
         "train_steps_s_parity_fp32": round(train_steps_s, 2),
         "timing": "honest fori_loop slope (round-2 methodology fix)",
