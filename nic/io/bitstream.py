@@ -30,7 +30,12 @@ import numpy as np
 
 __all__ = ["params_digest", "write_nicx", "read_nicx", "NICX_MAGIC"]
 
-NICX_MAGIC = b"NICX\x01"
+# \x02: σ→scale-bin mapping moved on-device (f32 log in the jitted
+# hyper-synthesis) — bins must match between encode and decode, and a
+# boundary σ could bin differently under the old host-f64 mapping, so
+# old streams are rejected by magic rather than risking silent symbol
+# corruption.
+NICX_MAGIC = b"NICX\x02"
 
 
 def params_digest(params) -> str:

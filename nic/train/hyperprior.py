@@ -245,7 +245,11 @@ class HyperpriorCodec:
     the trainer's hard-quantized evaluation output."""
 
     def __init__(self, trainer: HyperpriorTrainer):
+        import math
+
         import jax
+
+        from nic.io.entropy import NUM_SCALE_BINS, SCALE_MAX, SCALE_MIN
 
         self.t = trainer
         m, p = trainer.model, trainer.params
@@ -253,6 +257,22 @@ class HyperpriorCodec:
         self._h_a = jax.jit(lambda y: m.apply(p, y, method=m.hyper_analysis))
         self._h_s = jax.jit(lambda z: m.apply(p, z, method=m.hyper_synthesis))
         self._g_s = jax.jit(lambda y: m.apply(p, y, method=m.synthesis))
+
+        # σ → scale-bin mapping fused into the jitted hyper-synthesis:
+        # the host used to fetch σ (524 KB f32) and redo the log in f64
+        # numpy (~1 ms — entropy.scale_bin_indices); the decoder only
+        # ever needs the BIN INDICES, which are one device elementwise
+        # chain and a 4× smaller fetch. Both compress and decompress use
+        # this mapping, so streams stay self-consistent (NICX\x02).
+        ln_min = math.log(SCALE_MIN)
+        inv_step = (NUM_SCALE_BINS - 1) / (math.log(SCALE_MAX) - ln_min)
+
+        def h_s_bins(z):
+            s = m.apply(p, z, method=m.hyper_synthesis)
+            idx = jnp.ceil((jnp.log(s) - ln_min) * inv_step)
+            return jnp.clip(idx, 0, NUM_SCALE_BINS - 1).astype(jnp.int32)
+
+        self._h_s_bins = jax.jit(h_s_bins)
         self._z_mu, self._z_log_s = m.apply(p, method=m.z_prior_params)
         self._cdf_z_cache: dict[int, np.ndarray] = {}
 
@@ -279,12 +299,12 @@ class HyperpriorCodec:
         z = np.asarray(self._h_a(jnp.asarray(y)))
         z_hat = np.round(z).astype(np.int32)
         y_hat = np.round(y).astype(np.int32)
-        sigma = np.asarray(self._h_s(jnp.asarray(z_hat, np.float32)))
+        bins_y = np.asarray(
+            self._h_s_bins(jnp.asarray(z_hat, np.float32))).reshape(-1)
 
         a_y = max(1, int(np.abs(y_hat).max()))
         a_z = max(1, int(np.abs(z_hat).max()))
         cdf_y = ec.gaussian_cdf_table(a_y)
-        bins_y = ec.scale_bin_indices(sigma).reshape(-1)
         bytes_y = rans_encode(y_hat.reshape(-1) + a_y, bins_y, cdf_y)
 
         cdf_z = self._cdf_z(a_z)
@@ -311,9 +331,9 @@ class HyperpriorCodec:
         z_hat = (rans_decode(blob["z"], bins_z, cdf_z) - blob["a_z"]).reshape(
             blob["z_shape"]
         )
-        sigma = np.asarray(self._h_s(jnp.asarray(z_hat, np.float32)))
+        bins_y = np.asarray(
+            self._h_s_bins(jnp.asarray(z_hat, np.float32))).reshape(-1)
         cdf_y = ec.gaussian_cdf_table(blob["a_y"])
-        bins_y = ec.scale_bin_indices(sigma).reshape(-1)
         y_hat = (rans_decode(blob["y"], bins_y, cdf_y) - blob["a_y"]).reshape(
             blob["y_shape"]
         )

@@ -218,8 +218,11 @@ class NTCTrainer:
         # gather path.
         forward = cfg.train_forward
         if forward == "auto":
+            # fastest eligible kernel on TPU — single device AND under a
+            # mesh (the sharded gates below fall back kernel3_sharded →
+            # kernel2_sharded → gather when geometry disqualifies)
             forward = ("kernel3" if jax.default_backend() == "tpu"
-                       and mesh is None else "gather")
+                       else "gather")
         use_folded = forward == "folded"
         # TRAIN_FORWARD=kernel: the gather-built [N, F] features feed one
         # fused Pallas kernel computing fwd+loss+bwd in a single pass

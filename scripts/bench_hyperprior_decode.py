@@ -84,9 +84,11 @@ def main() -> None:
     bins_z = np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
     z_hat = (rans_decode(blob["z"], bins_z, cdf_z) - blob["a_z"]).reshape(
         blob["z_shape"])
-    sigma = np.asarray(codec._h_s(jnp.asarray(z_hat, np.float32)))
+    # σ→bin mapping rides the jitted hyper-synthesis on device (codec
+    # _h_s_bins) — the decoder never fetches σ itself
+    bins_y = np.asarray(
+        codec._h_s_bins(jnp.asarray(z_hat, np.float32))).reshape(-1)
     cdf_y = ec.gaussian_cdf_table(blob["a_y"])
-    bins_y = ec.scale_bin_indices(sigma).reshape(-1)
 
     def stage_time(fn, iters):
         fn()
@@ -103,9 +105,22 @@ def main() -> None:
     y_hat = (rans_decode(blob["y"], bins_y, cdf_y) - blob["a_y"]).reshape(
         blob["y_shape"])
     t_xform = stage_time(
-        lambda: (np.asarray(codec._h_s(jnp.asarray(z_hat, np.float32))),
+        lambda: (np.asarray(codec._h_s_bins(jnp.asarray(z_hat, np.float32))),
                  np.asarray(codec._g_s(jnp.asarray(y_hat, np.float32)))),
         args.iters)
+    # host glue that a co-located deployment still pays: symbol→latent
+    # arithmetic + reshapes + the (cached) table lookups
+    y_syms = rans_decode(blob["y"], bins_y, cdf_y)
+    z_syms = rans_decode(blob["z"], bins_z, cdf_z)
+
+    def glue():
+        ec.gaussian_cdf_table(blob["a_y"])
+        zz = (z_syms - blob["a_z"]).reshape(blob["z_shape"])
+        yy = (y_syms - blob["a_y"]).reshape(blob["y_shape"])
+        np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
+        return zz, yy
+
+    t_glue = stage_time(glue, args.iters)
 
     # device-only transform time (fori_loop slope, the bench.py
     # methodology): separates actual conv compute from the tunnel's
@@ -148,6 +163,13 @@ def main() -> None:
         "hyper_synthesis_device_ms": round(t_hs_dev * 1e3, 3),
         "synthesis_device_ms": round(t_gs_dev * 1e3, 3),
         "device_mpix_s": round(px / (t_hs_dev + t_gs_dev) / 1e6, 3),
+        "host_glue_ms": round(t_glue * 1e3, 3),
+        # co-located ceiling: host rANS + device transforms + host glue
+        # (the tunnel's per-call staging excluded — a co-located host
+        # pays PCIe microseconds, not tunnel milliseconds; methodology
+        # as the round-3 97 MPix/s figure)
+        "colocated_mpix_s": round(
+            px / (t_rans + t_hs_dev + t_gs_dev + t_glue) / 1e6, 3),
         "iters": args.iters,
     }))
 
