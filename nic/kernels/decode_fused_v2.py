@@ -156,9 +156,12 @@ def _kernel_z1mm(pc_ref, c1_ref, a_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
     """z1-matmul kernel body: the row-upsample of P and the row-interp of
     C1 become two small MXU contractions against STATIC matrices (the
     roofline's "augmented first-layer contraction", BASELINE.md round-4
-    roofline note). The kernel is VPU-issue-bound; moving the ~5
-    element-ops/elem of the z1 build onto the idle MXU (11×+ slack) frees
-    those slots. The C1 halo row is pre-gathered host-side into (m+1)-row
+    roofline note). Chip-measured NEGATIVE (BASELINE.md round-4,
+    results/r4_z1mm_probe.json): 0.60–0.79× vs the VPU per-row kernel at
+    bit-exact parity — the tiny-contraction dots sit on the critical
+    path into the GELU and the MXU round-trip serializes against the VPU
+    stream instead of overlapping. Kept opt-in as a measured design
+    point. The C1 halo row is pre-gathered host-side into (m+1)-row
     blocks, so there is no second window and no in-kernel concatenate.
     ``a_ref`` carries [A0 | A1] tiled per grid step (Pallas refuses
     captured array constants, and a non-advancing window serializes —

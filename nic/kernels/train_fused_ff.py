@@ -34,9 +34,12 @@ activations on full 128-lane vregs): the per-block P/C1 windows of the
 two halves are shifted copies of each other, so the XLA staging packs
 them into lane halves and every in-kernel expansion runs once at full
 width. Geometry gate: 2D dense-G0 power-of-two crop lattice with
-step ≤ 1, triangular PE, node-resolution QAT noise (or the frozen
-phase), H ≤ 64, even blocks per crop — the flagship protocol and every
-upsampling mip. Everything else falls back to kernel2/kernel/gather.
+step ≤ 1, triangular PE, H ≤ 64, even blocks per crop — the flagship
+protocol and every upsampling mip. Both QAT noise modes are supported:
+node-resolution noise perturbs the grids before the fold, and the
+default feature-resolution noise is drawn INSIDE the kernel (see the
+``eps_uniform`` section below). Everything else falls back to
+kernel2/kernel/gather.
 """
 
 from __future__ import annotations

@@ -295,9 +295,15 @@ class NTCTrainer:
             from nic.kernels.train_fused import pick_block_rows
             from nic.kernels.train_fused_ff import ff_geometry
 
+            # the in-kernel noise counter is gid·fslot + j in int32:
+            # keep the whole pixel×feature grid under 2^31 (flagship is
+            # 84M; this only excludes absurdly large crop batches)
+            fslot = -(-(5 * cfg.feature_pyramid_channels
+                        + 2 * cfg.pe_channels + 1) // 8) * 8
             if not (ndim == 2 and not sparse_g0 and use_tri_pe
                     and 0 < step <= 1
                     and cfg.pe_channels <= 8 and crops_eff >= 1
+                    and num_crops * n * n * fslot < 2**31
                     and len(set(data_hw)) == 1):
                 return False, None, None
             f_inv = 1.0 / step
