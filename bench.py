@@ -98,6 +98,26 @@ def bench_decode3d(backend: str, sparse_g0: bool = False, size: int = 64,
     return size**3 / t / 1e9
 
 
+def _sweep_confirms_tanherf() -> bool:
+    """tanherf enters the exact bucket only on sweep EVIDENCE: every
+    cell of results/r4_gelu_parity.json must have tanherf u8 deviation
+    ≤ the exact-erf mode's own (the same criterion that demoted poly)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "r4_gelu_parity.json")
+    try:
+        rows = json.load(open(path))["rows"]
+        return bool(rows) and all(
+            "pallas_tanherf_max_lsb" in r
+            and r["pallas_tanherf_max_lsb"] <= r["pallas_exact_max_lsb"]
+            for r in rows
+        )
+    except Exception:
+        return False
+
+
 def _decode_fn(backend: str, image_size: int, mip_to_level, dtype=None,
                gelu: str = "exact", z1_matmul: bool | str = False):
     import jax.numpy as jnp
@@ -200,10 +220,16 @@ def main() -> None:
         # some cells — so since round 4 poly is labeled "near-exact"
         # and no longer feeds value_exact (VERDICT r3 #3 relabeling);
         # tanh (the fast mode) ≤ 7 LSB.
+        # tanherf = erf routed through the cheap hardware tanh
+        # (|Δgelu| ≤ 1.44e-6, ~250× tighter than poly); joins the exact
+        # bucket only once the per-cell sweep shows it inside the
+        # exact-erf envelope (results/r4_gelu_parity.json)
         for key, kw in (
             ("pallas_exact_2048_gpix_s", dict(dtype=jnp.bfloat16)),
             ("pallas_erfpoly_2048_gpix_s",
              dict(dtype=jnp.bfloat16, gelu="erfpoly")),
+            ("pallas_tanherf_2048_gpix_s",
+             dict(dtype=jnp.bfloat16, gelu="tanherf")),
             ("pallas_poly_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="poly")),
             ("pallas_tanh_2048_gpix_s", dict(dtype=jnp.bfloat16, gelu="tanh")),
         ):
@@ -211,7 +237,10 @@ def main() -> None:
                 g = bench_decode("pallas", BENCH_SIZE, **kw)
                 result[key] = round(g, 4)
                 best_big = max(best_big, g)
-                if kw.get("gelu", "exact") in ("exact", "erfpoly"):
+                exact_modes = ("exact", "erfpoly")
+                if _sweep_confirms_tanherf():
+                    exact_modes += ("tanherf",)
+                if kw.get("gelu", "exact") in exact_modes:
                     best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
                 result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]

@@ -26,12 +26,14 @@ def run(argv=None):
                    help="auto = fused Pallas kernel on TPU (the fastest "
                         "backend, BASELINE.md), folded XLA path elsewhere")
     p.add_argument("--gelu",
-                   choices=["exact", "tanh", "quick", "poly", "erfpoly"],
+                   choices=["exact", "tanh", "quick", "poly", "erfpoly",
+                            "tanherf"],
                    default="exact",
                    help="pallas backend GELU: 'tanh'/'poly' are ~2x faster "
                         "with error well under one 8-bit quantization step; "
-                        "'erfpoly' is the exact-class polynomial "
-                        "(|Δgelu| < 1e-6, u8-identical decodes)")
+                        "'tanherf' (erf routed through the cheap hardware "
+                        "tanh, |Δgelu| ≤ 1.4e-6) and 'erfpoly' "
+                        "(|Δgelu| < 1e-6) are the exact-class modes")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     p.add_argument("--devices", type=int, default=1,

@@ -69,7 +69,7 @@ def decode_modes(trainer, mip: int):
         f, m, mip, image_size=cfg.image_size, mip_to_level=m2l,
         pe_channels=cfg.pe_channels, use_tri_pe=tri, ndim=ndim,
         sparse_g0=sparse, g1_quirk=cfg.tf_g1_quirk))
-    for gelu in ("exact", "poly", "tanh"):
+    for gelu in ("exact", "poly", "tanh", "tanherf"):
         if ndim == 2:
             fn = lambda f, m, g=gelu: decode_image_fused_v2(
                 f, m, mip, image_size=cfg.image_size, mip_to_level=m2l,
@@ -104,7 +104,8 @@ def main() -> None:
             base = recs.pop("fast_fp32")
             row = {"cell": tag, "mip": mip,
                    "budget_poly_lsb": lsb_budget(tr.state.mlp, 3.6e-4),
-                   "budget_tanh_lsb": lsb_budget(tr.state.mlp, 4.7e-4)}
+                   "budget_tanh_lsb": lsb_budget(tr.state.mlp, 4.7e-4),
+                   "budget_tanherf_lsb": lsb_budget(tr.state.mlp, 1.5e-6)}
             for k, v in recs.items():
                 row[f"{k}_max_lsb"] = int(np.abs(v - base).max())
             rows.append(row)

@@ -146,10 +146,17 @@ def test_fused_v3_matches_fast_decode():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-@pytest.mark.parametrize("fast_gelu", ["tanh", "poly"])
-def test_fused_v2_gelu_tanh_close(fast_gelu):
+@pytest.mark.parametrize("fast_gelu,tol", [
+    ("tanh", 1e-3), ("poly", 1e-3),
+    # erf routed through tanh: |Δgelu| ≤ 1.4e-6, so the decode must sit
+    # in the exact-erf class (tolerance dominated by the fused pipeline's
+    # own f32 rounding, not the GELU)
+    ("tanherf", 2e-5),
+])
+def test_fused_v2_gelu_tanh_close(fast_gelu, tol):
     """The fast GELU modes must match the exact-erf path to well under
-    one 8-bit quantization step (1/255 ≈ 4e-3)."""
+    one 8-bit quantization step (1/255 ≈ 4e-3); tanherf to exact-class
+    tolerance."""
     from nic.grids.fastdecode import fast_decode
     from nic.kernels.decode_fused_v2 import decode_image_fused_v2
 
@@ -169,7 +176,7 @@ def test_fused_v2_gelu_tanh_close(fast_gelu):
                 pe_channels=pe, gelu=fast_gelu,
             )
         )
-    assert np.abs(got - want).max() < 1e-3
+    assert np.abs(got - want).max() < tol
 
 
 def test_trainer_pallas_backend_matches_fast():
