@@ -755,3 +755,61 @@ def test_trainer_kernel3_sharded_matches_single():
 
     np.testing.assert_allclose(np.asarray(losses_sh),
                                np.asarray(losses_single), rtol=1e-5)
+
+
+def test_trainer_kernel3_feature_noise_mip_mode():
+    """kernel3 + IN-KERNEL feature noise must compose with LOD/mip
+    training (per-LOD branches in the scan switch, each gated on its own
+    crop geometry). No gather-parity is possible (different ε stream):
+    require engagement, finite decreasing losses, and a healthy decode."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    cfg = CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=400,
+        mlp_num_dtype=16, image_path="data/sancho_512.png",
+        train_forward="kernel3", qat_noise_where="feature", tf_no_mip=False,
+    )
+    tr = NTCTrainer(cfg, load_asset(cfg))
+    tr._build_step(0, frozen=False, jit=False)
+    assert tr._forward_mode == "kernel3"
+    with pltpu.force_tpu_interpret_mode():
+        losses, _ = tr.train_many(12, chunk=4)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
+
+
+def test_trainer_kernel3_sharded_frozen_phase():
+    """kernel3_sharded in the frozen (post-95%) phase: no noise, MLP-only
+    grads pmean'd — must engage and produce finite losses matching the
+    single-device frozen kernel3 run."""
+    from nic.cli.image_compression import load_asset
+    from nic.config import CompressionConfig
+    from nic.parallel.mesh import make_mesh
+    from nic.train.ntc import NTCTrainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    cfg = lambda: CompressionConfig(
+        image_size=64, max_mip_level=6, crop_mip_level=5, num_epochs=50,
+        mlp_num_dtype=16, image_path="data/sancho_512.png",
+        train_forward="kernel3", qat_noise_where="feature",
+    )
+    img = load_asset(cfg())
+
+    import nic.kernels.train_fused_ff as tff
+    tff.INTERPRET = True
+    try:
+        tr_single = NTCTrainer(cfg(), img)
+        tr_single._frozen = True
+        step = tr_single._build_step(0, frozen=True, jit=True)
+        assert tr_single._forward_mode == "kernel3"
+
+        mesh = make_mesh(8, data_axis=8)
+        with mesh:
+            tr_sh = NTCTrainer(cfg(), img, mesh=mesh)
+            tr_sh._build_step(0, frozen=True, jit=False)
+            assert tr_sh._forward_mode == "kernel3_sharded"
+    finally:
+        tff.INTERPRET = False
