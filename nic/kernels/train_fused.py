@@ -1355,28 +1355,100 @@ _CORNERS_3D_DENSE = tuple(
 _CORNERS_3D_SPARSE = ((0, 0, 0), (0, 1, 1), (1, 0, 1), (1, 1, 0))
 
 
-def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
-                          rowsb: int, f: int, sparse_g0: bool,
-                          g0_nodes: int, g1_nodes: int, channels: int):
-    """3D backward tail: overlap-add per-block node volumes (slab bases
-    static for dp — f | rowsb — and per-block dynamic for dc1), place
-    per-crop windows into full-grid accumulators, contract with the W1
-    feature blocks → (dG0, dG1) in grid layout [C, s, s, s]."""
+def _scatter_embed(idx, span: int, full: int):
+    """One-hot placement matrices E [crops, span, full]: E[i, q, idx[i]+q]
+    = 1. Contracting a per-crop window against E places it at a TRACED
+    offset as a tiny matmul — the parallel form of the serialized
+    dynamic_update_slice read-modify-write chain (roundoff-order change
+    only)."""
+    ar_span = jnp.arange(span, dtype=jnp.int32)
+    ar_full = jnp.arange(full, dtype=jnp.int32)
+    return (idx[:, None, None] + ar_span[None, :, None]
+            == ar_full[None, None, :]).astype(jnp.float32)
+
+
+def _accumulate_node_volumes(dp, dc1, origins, *, crops: int, n: int,
+                             rowsb: int, f: int, g0_nodes: int,
+                             g1_nodes: int, hidden: int):
+    """Overlap-add the per-block node VOLUMES and place each crop's window
+    into full-grid accumulators; returns (P, C1) — the 3D analog of
+    :func:`_accumulate_node_planes`, shared by dG0/dG1 (via W1) and dW1
+    (via the grid values).
+
+    Slab bases are per (crop, block) and DYNAMIC (rowsb may be smaller
+    than f — the R ≤ 2048 Mosaic block cap), so the strided static adds of
+    the 2D path don't apply. The original implementation serialized
+    2·crops·B dynamic_update_slice read-modify-write chains (256 at the
+    misty protocol) — latency-bound on TPU. This scatters with one-hot
+    contractions instead (:func:`_scatter_embed`): one batched matmul per
+    plane family plus three per-axis placement einsums, all parallel.
+    ``NIC_UNFOLD3D_LOOP=1`` selects the old loop for A/B."""
     f32 = jnp.float32
-    hidden = w1.shape[1]
     f1 = 2 * f
     B = n // rowsb
     nr0 = (rowsb + f - 2) // f + 1
     na0 = (n + f - 2) // f + 1
     nr1 = (rowsb + f1 - 2) // f1 + 2
     na1 = n // f1 + 2
+    rows0 = na0
+    rows1 = (n + f1 - 2) // f1 + 2
 
     # dp: [steps, nr0, na0(a1), pa0(a2 padded), H]
     dp = dp.reshape(crops, B, nr0, na0, -1, hidden)[:, :, :, :, :na0]
-    # dp slab bases are per (crop, block) too — rowsb may be smaller than
-    # f (the per-block row cap R ≤ 2048: larger blocks crash the Mosaic
-    # compile helper), so blocks can straddle node boundaries
-    rows0 = na0
+    dc1 = dc1.reshape(crops, B, nr1, na1, -1, hidden)[:, :, :, :, :na1]
+
+    if os.environ.get("NIC_UNFOLD3D_LOOP") == "1":
+        return _accumulate_node_volumes_loop(
+            dp, dc1, origins, crops=crops, f=f, g0_nodes=g0_nodes,
+            g1_nodes=g1_nodes, hidden=hidden, nr0=nr0, na0=na0, nr1=nr1,
+            na1=na1, rows0=rows0, rows1=rows1, rowsb=rowsb, B=B)
+
+    b_idx = jnp.arange(B, dtype=jnp.int32)
+    # per-(crop, block) slab bases: (rowsb·b + o0)//f − o0//f
+    base0 = ((rowsb * b_idx[None, :] + origins[:, 0:1]) // f
+             - origins[:, 0:1] // f)                       # [crops, B]
+    j0 = jnp.arange(rows0 + nr0, dtype=jnp.int32)
+    m0 = (base0[:, :, None, None] +
+          jnp.arange(nr0, dtype=jnp.int32)[None, None, :, None]
+          == j0[None, None, None, :]).astype(f32)          # [i, b, q, j]
+    acc0 = jnp.einsum("ibqj,ibqach->ijach", m0, dp)[:, :rows0]
+
+    base1 = ((rowsb * b_idx[None, :] + origins[:, 0:1]) // f1
+             - origins[:, 0:1] // f1)
+    j1 = jnp.arange(rows1 + nr1, dtype=jnp.int32)
+    m1 = (base1[:, :, None, None] +
+          jnp.arange(nr1, dtype=jnp.int32)[None, None, :, None]
+          == j1[None, None, None, :]).astype(f32)
+    acc1 = jnp.einsum("ibqj,ibqach->ijach", m1, dc1)[:, :rows1]
+
+    # per-crop window placement into the full grids: three per-axis
+    # one-hot placements, summed over crops
+    r0 = _scatter_embed(origins[:, 0] // f, rows0, g0_nodes + 1)
+    a0 = _scatter_embed(origins[:, 1] // f, na0, g0_nodes + 1)
+    c0 = _scatter_embed(origins[:, 2] // f, na0, g0_nodes + 1)
+    t = jnp.einsum("irR,irach->iRach", r0, acc0)
+    t = jnp.einsum("iaA,iRach->iRAch", a0, t)
+    t = jnp.einsum("icC,iRAch->iRACh", c0, t)
+    P = t.sum(0)
+
+    r1 = _scatter_embed(origins[:, 0] // f1, rows1, g1_nodes + 2)
+    a1_ = _scatter_embed(origins[:, 1] // f1, na1, g1_nodes + 2)
+    c1_ = _scatter_embed(origins[:, 2] // f1, na1, g1_nodes + 2)
+    t = jnp.einsum("irR,irach->iRach", r1, acc1)
+    t = jnp.einsum("iaA,iRach->iRAch", a1_, t)
+    t = jnp.einsum("icC,iRAch->iRACh", c1_, t)
+    C1 = t.sum(0)
+    return P, C1
+
+
+def _accumulate_node_volumes_loop(dp, dc1, origins, *, crops: int, f: int,
+                                  g0_nodes: int, g1_nodes: int, hidden: int,
+                                  nr0: int, na0: int, nr1: int, na1: int,
+                                  rows0: int, rows1: int, rowsb: int, B: int):
+    """The original serialized dynamic_update_slice accumulation, kept for
+    A/B (NIC_UNFOLD3D_LOOP=1)."""
+    f32 = jnp.float32
+    f1 = 2 * f
     acc0 = jnp.zeros((crops, rows0 + nr0, na0, na0, hidden), f32)
     for i in range(crops):
         for b in range(B):
@@ -1387,9 +1459,6 @@ def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
                 acc0, cur + dp[i, b][None], (i, base, 0, 0, 0))
     acc0 = acc0[:, :rows0]
 
-    dc1 = dc1.reshape(crops, B, nr1, na1, -1, hidden)[:, :, :, :, :na1]
-    # dc1 slab bases are per (crop, block): (rowsb·b + o0)//f1 − o0//f1
-    rows1 = (n + f1 - 2) // f1 + 2
     acc1 = jnp.zeros((crops, rows1 + nr1, na1, na1, hidden), f32)
     for i in range(crops):
         for b in range(B):
@@ -1416,6 +1485,21 @@ def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
             C1, (r1, a1_, b1_, 0), (rows1, na1, na1, hidden))
         C1 = jax.lax.dynamic_update_slice(
             C1, cur1 + acc1[i], (r1, a1_, b1_, 0))
+    return P, C1
+
+
+def _unfold_node_grads_3d(dp, dc1, origins, w1, *, crops: int, n: int,
+                          rowsb: int, f: int, sparse_g0: bool,
+                          g0_nodes: int, g1_nodes: int, channels: int):
+    """3D backward tail: overlap-add per-block node volumes (slab bases
+    per (crop, block) dynamic), place per-crop windows into full-grid
+    accumulators, contract with the W1 feature blocks → (dG0, dG1) in
+    grid layout [C, s, s, s]."""
+    f32 = jnp.float32
+    hidden = w1.shape[1]
+    P, C1 = _accumulate_node_volumes(
+        dp, dc1, origins, crops=crops, n=n, rowsb=rowsb, f=f,
+        g0_nodes=g0_nodes, g1_nodes=g1_nodes, hidden=hidden)
 
     ch = channels
     corners = _CORNERS_3D_SPARSE if sparse_g0 else _CORNERS_3D_DENSE

@@ -813,3 +813,40 @@ def test_trainer_kernel3_sharded_frozen_phase():
             assert tr_sh._forward_mode == "kernel3_sharded"
     finally:
         tff.INTERPRET = False
+
+
+@pytest.mark.parametrize("n,step,rowsb", [
+    (8, 0.25, 2),   # rowsb < f: dynamic slab bases (misty shape class)
+    (8, 0.5, 2),    # f1 not | rowsb
+])
+def test_accumulate_node_volumes_vectorized_matches_loop(n, step, rowsb,
+                                                         monkeypatch):
+    """The one-hot-contraction 3D node-volume accumulation vs the original
+    serialized dynamic_update_slice loop: identical sums to roundoff."""
+    import os
+
+    from nic.kernels import train_fused as tf
+
+    crops, hidden, data_size = 3, 16, 32
+    f = int(round(1.0 / step))
+    f1 = 2 * f
+    B = n // rowsb
+    nr0 = (rowsb + f - 2) // f + 1
+    na0 = (n + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    na1 = n // f1 + 2
+    g0n = int(data_size * step) + 1
+    g1n = int(data_size * step / 2) + 1
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    dp = jax.random.normal(ks[0], (crops * B, nr0, na0, na0 + 3, hidden))
+    dc1 = jax.random.normal(ks[1], (crops * B, nr1, na1, na1 + 1, hidden))
+    origins = jax.random.randint(ks[2], (crops, 3), 0, data_size - n + 1)
+
+    kw = dict(crops=crops, n=n, rowsb=rowsb, f=f, g0_nodes=g0n,
+              g1_nodes=g1n, hidden=hidden)
+    p_vec, c_vec = tf._accumulate_node_volumes(dp, dc1, origins, **kw)
+    monkeypatch.setenv("NIC_UNFOLD3D_LOOP", "1")
+    p_loop, c_loop = tf._accumulate_node_volumes(dp, dc1, origins, **kw)
+    for a, b, tag in ((p_vec, p_loop, "P"), (c_vec, c_loop, "C1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-12))
+        assert rel < 1e-6, (tag, rel)
