@@ -321,10 +321,41 @@ class NTCTrainer:
                              pe_channels=cfg.pe_channels)
             return ok, rowsb, f
 
+        # 3D kernel3 gate (nic.kernels.train_fused_ff3): same lattice
+        # conditions as the 3D kernel2 plus the noise-counter bound;
+        # dense AND sparse G0 and both PE families are supported (the 3D
+        # kernel computes PE in XLA staging, not in-kernel)
+        def _k3d_gate(crops_eff: int):
+            from nic.kernels.train_fused import pick_block_rows
+            from nic.kernels.train_fused_ff3 import ff3_geometry
+
+            nfeat_l = cfg.decoder_input_channels
+            fslot = -(-nfeat_l // 8) * 8
+            if not (ndim == 3 and 0 < step <= 1 and crops_eff >= 1
+                    and cfg.pe_channels <= 8
+                    and num_crops * n**3 * fslot < 2**31
+                    and len(set(data_hw)) == 1):
+                return False, None, None
+            f_inv = 1.0 / step
+            if abs(f_inv - round(f_inv)) >= 1e-9:
+                return False, None, None
+            f = int(round(f_inv))
+            rows_cap = pick_block_rows(crops_eff * n**3)
+            if rows_cap is None:
+                return False, None, None
+            rowsb = min(max(rows_cap // (n * n), 1), n)
+            if rowsb < 1 or n % rowsb:
+                return False, None, None
+            ok = ff3_geometry(crops=crops_eff, n=n, rowsb=rowsb, f=f,
+                              hidden=cfg.hidden_layer_channels,
+                              pe_channels=cfg.pe_channels, nfeat=nfeat_l)
+            return ok, rowsb, f
+
         use_kernel3 = False
         k3_rowsb = k3_f = None
         if use_kernel and forward == "kernel3":
-            use_kernel3, k3_rowsb, k3_f = _k3_gate(num_crops)
+            gate = _k3_gate if ndim == 2 else _k3d_gate
+            use_kernel3, k3_rowsb, k3_f = gate(num_crops)
         use_kernel2 = False
         k2_rowsb = k2_f = None
         if use_kernel and not use_kernel3 and forward in ("kernel2",
@@ -471,6 +502,7 @@ class NTCTrainer:
         def loss_fn(fp, mlp, origins, noise_key):
             if use_kernel3:
                 from nic.kernels.train_fused_ff import fused_train_ff
+                from nic.kernels.train_fused_ff3 import fused_train_ff3
 
                 fpc = tuple(g.astype(dtype) for g in fp)
                 nbits = None
@@ -486,11 +518,20 @@ class NTCTrainer:
                 # grid + FULL MLP grads are hand-built inside the
                 # primitive (node planes + tiny contractions); the noise
                 # add above routes d(noised) → d(raw) by identity
-                loss, out = fused_train_ff(
-                    fpc[fl * 2], fpc[fl * 2 + 1], mlp, tgt, origins, seed,
-                    num_crops, n, k3_rowsb, k3_f, cfg.pe_channels,
-                    float(lod), matmul_dtype, train_gelu, nbits,
-                )
+                if ndim == 2:
+                    loss, out = fused_train_ff(
+                        fpc[fl * 2], fpc[fl * 2 + 1], mlp, tgt, origins,
+                        seed, num_crops, n, k3_rowsb, k3_f,
+                        cfg.pe_channels, float(lod), matmul_dtype,
+                        train_gelu, nbits,
+                    )
+                else:
+                    loss, out = fused_train_ff3(
+                        fpc[fl * 2], fpc[fl * 2 + 1], mlp, tgt, origins,
+                        seed[:3], num_crops, n, k3_rowsb, k3_f,
+                        cfg.pe_channels, float(lod), sparse_g0,
+                        use_tri_pe, matmul_dtype, train_gelu, nbits,
+                    )
                 return loss, (out, tgt)
             if use_kernel2:
                 from nic.kernels.train_fused import (fused_mlp_loss_ng,

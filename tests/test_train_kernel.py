@@ -850,3 +850,151 @@ def test_accumulate_node_volumes_vectorized_matches_loop(n, step, rowsb,
     for a, b, tag in ((p_vec, p_loop, "P"), (c_vec, c_loop, "C1")):
         rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-12))
         assert rel < 1e-6, (tag, rel)
+
+
+# ---------------------------------------------------------------------------
+# kernel3 3D: feature-free fused 3D train step (nic.kernels.train_fused_ff3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,step,data_size,crops,rowsb,sparse", [
+    (8, 0.25, 32, 2, 4, False),   # f=4, f1=8 (misty shape class), m3
+    (8, 0.25, 32, 2, 4, True),    # method 4: sparse G0, sinusoidal PE
+    (8, 0.5, 32, 2, 2, False),    # f=2, f1=4
+    (8, 1.0, 16, 2, 4, False),    # f=1 node-per-pixel
+    (8, 0.25, 32, 2, 2, False),   # rowsb < f (blocks straddle nodes)
+])
+def test_fused_ff3_matches_gather_autodiff(n, step, data_size, crops,
+                                           rowsb, sparse):
+    """fused_train_ff3 (in-VMEM 3D feature build via scalar-prefetch-
+    dependent slab fetches, hand-built FULL backward) must reproduce
+    loss, out, grid grads, and EVERY MLP grad of the gather+autodiff
+    path, for dense (m3) and sparse (m4) G0 and both PE families."""
+    from nic.kernels.train_fused_ff3 import ff3_geometry, fused_train_ff3
+
+    C, pe = 2, 2
+    g0, g1, mlp, origins, tgt, features, f = _ng3_setup(
+        11, C, pe, n, step, data_size, crops, sparse)
+    assert ff3_geometry(crops=crops, n=n, rowsb=rowsb, f=f,
+                        hidden=mlp["w2"].shape[0], pe_channels=pe)
+
+    def ref_loss(g0g1, m):
+        x = features(g0g1)
+        out = apply_mlp(m, x, matmul_dtype=None)
+        return jnp.mean((out - tgt) ** 2), out
+
+    (l0, o0), ((dg0_0, dg1_0), gm0) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    def ff_loss(g0g1, m):
+        seed = jnp.zeros((3,), jnp.int32)
+        return fused_train_ff3(g0g1[0], g0g1[1], m, tgt, origins, seed,
+                               crops, n, rowsb, f, pe, 0.0, sparse,
+                               not sparse, None, "erf")
+
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), ((dg0_1, dg1_1), gm1) = jax.value_and_grad(
+            ff_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    assert abs(float(l0 - l1)) / float(l0) < 1e-5
+    assert float(jnp.abs(o0 - o1).max()) < 1e-5
+    for a, b, tag in ((dg0_0, dg0_1, "dg0"), (dg1_0, dg1_1, "dg1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12))
+        assert rel < 1e-4, (tag, rel)
+    for k in gm0:
+        rel = float(jnp.abs(gm0[k] - gm1[k]).max()
+                    / (jnp.abs(gm0[k]).max() + 1e-12))
+        assert rel < 1e-4, (k, rel)
+
+
+def test_fused_ff3_feature_noise_matches_external_eps():
+    """ff3 in-kernel feature noise: rebuild the exact ε stream outside
+    the kernel, add it to the gather-path features, and require loss/out/
+    all grads to match — pins the 3D counter layout and both noise dots."""
+    from nic.kernels.train_fused_ff import eps_uniform
+    from nic.kernels.train_fused_ff3 import ff3_geometry, fused_train_ff3
+
+    C, pe, bits = 2, 2, 8
+    n, step, data_size, crops, rowsb = 8, 0.25, 32, 2, 4
+    g0, g1, mlp, origins, tgt, features, f = _ng3_setup(
+        23, C, pe, n, step, data_size, crops, False)
+    assert ff3_geometry(crops=crops, n=n, rowsb=rowsb, f=f,
+                        hidden=mlp["w2"].shape[0], pe_channels=pe)
+    nfeat = 9 * C + 3 * pe + 1
+    fslot = -(-nfeat // 8) * 8
+    npix = crops * n**3
+    seed = jnp.array([12345, -987654321, 0], jnp.int32)
+    ctr = (jnp.arange(npix, dtype=jnp.int32)[:, None] * fslot
+           + jnp.arange(nfeat, dtype=jnp.int32)[None, :])
+    eps_ref = eps_uniform(ctr, seed[0], seed[1], bits)
+
+    def ref_loss(g0g1, m):
+        x = features(g0g1) + eps_ref
+        out = apply_mlp(m, x, matmul_dtype=None)
+        return jnp.mean((out - tgt) ** 2), out
+
+    (l0, o0), ((dg0_0, dg1_0), gm0) = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    def ff_loss(g0g1, m):
+        return fused_train_ff3(g0g1[0], g0g1[1], m, tgt, origins, seed,
+                               crops, n, rowsb, f, pe, 0.0, False, True,
+                               None, "erf", bits)
+
+    with pltpu.force_tpu_interpret_mode():
+        (l1, o1), ((dg0_1, dg1_1), gm1) = jax.value_and_grad(
+            ff_loss, argnums=(0, 1), has_aux=True)((g0, g1), mlp)
+
+    assert abs(float(l0 - l1)) / float(l0) < 1e-5
+    assert float(jnp.abs(o0 - o1).max()) < 1e-5
+    for a, b, tag in ((dg0_0, dg0_1, "dg0"), (dg1_0, dg1_1, "dg1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-12))
+        assert rel < 1e-4, (tag, rel)
+    for k in gm0:
+        rel = float(jnp.abs(gm0[k] - gm1[k]).max()
+                    / (jnp.abs(gm0[k]).max() + 1e-12))
+        assert rel < 1e-4, (k, rel)
+
+
+@pytest.mark.parametrize("method,noise", [(3, "node"), (4, "node"),
+                                          (3, "feature")])
+def test_trainer_kernel3_3d_matches_gather(method, noise):
+    """NTCTrainer(TRAIN_FORWARD=kernel3, ndim=3): the feature-free 3D
+    kernel must track the gather path step for step under node noise
+    (bit-comparable stream) and train stably under the in-kernel feature
+    noise (different stream — first step equal only when frozen... the
+    noise differs, so feature mode checks progress + gate engagement)."""
+    from nic.config import CompressionConfig
+    from nic.train.ntc import NTCTrainer
+
+    rng = np.random.default_rng(3)
+    vol = rng.uniform(0, 1, (3, 16, 16, 16)).astype(np.float32)
+    res = {}
+    for fwd in ("gather", "kernel3"):
+        cfg = CompressionConfig(
+            image_size=16, image_dimension=3, compression_method=method,
+            crop_mip_level=3, num_crops=2, num_epochs=50, max_mip_level=4,
+            mlp_num_dtype=16, train_forward=fwd, train_gelu="erf",
+            qat_noise_where=noise,
+        )
+        tr = NTCTrainer(cfg, [vol])
+        with pltpu.force_tpu_interpret_mode():
+            losses, _ = tr.train_many(5, chunk=5)
+        if fwd == "kernel3":
+            assert tr._forward_mode == "kernel3"
+        res[fwd] = np.asarray(losses)
+    assert np.isfinite(res["kernel3"]).all()
+    if noise == "node":
+        # 1e-5 not 1e-6: ff3 rebuilds the feature math (fold + staged
+        # PE) in a different summation order than the gather's [N, F]
+        # matrix, so first-step roundoff is slightly wider than kernel2's
+        # (which consumes the gather's own features)
+        assert res["gather"][0] == pytest.approx(res["kernel3"][0],
+                                                 rel=1e-5)
+        np.testing.assert_allclose(res["gather"], res["kernel3"],
+                                   rtol=1e-3)
+    else:
+        # different ε streams: same objective, so the loss trajectories
+        # stay in the same band
+        np.testing.assert_allclose(res["gather"], res["kernel3"],
+                                   rtol=0.15)
