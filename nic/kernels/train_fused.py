@@ -877,17 +877,34 @@ def _accumulate_node_planes(dp, dc1, origins, *, crops: int, ncols: int,
     for q in range(nr1):
         acc1 = acc1.at[:, q:q + (B - 1) * s1 + 1:s1].add(dc1[:, :, q])
 
-    P = jnp.zeros((g0_nodes + 1, g0_nodes + 1, hidden), f32)
-    C1 = jnp.zeros((g1_nodes + 2, g1_nodes + 2, hidden), f32)
-    for i in range(crops):
-        r0 = origins[i, 0] // f
-        c0 = origins[i, 1] // f
-        cur = jax.lax.dynamic_slice(P, (r0, c0, 0), (rows0, nc0, hidden))
-        P = jax.lax.dynamic_update_slice(P, cur + acc0[i], (r0, c0, 0))
-        r1 = origins[i, 0] // f1
-        c1_ = origins[i, 1] // f1
-        cur1 = jax.lax.dynamic_slice(C1, (r1, c1_, 0), (rows1, nc1, hidden))
-        C1 = jax.lax.dynamic_update_slice(C1, cur1 + acc1[i], (r1, c1_, 0))
+    if os.environ.get("NIC_UNFOLD2D_LOOP") == "1":
+        # original serialized dynamic_update_slice placement, kept for A/B
+        P = jnp.zeros((g0_nodes + 1, g0_nodes + 1, hidden), f32)
+        C1 = jnp.zeros((g1_nodes + 2, g1_nodes + 2, hidden), f32)
+        for i in range(crops):
+            r0 = origins[i, 0] // f
+            c0 = origins[i, 1] // f
+            cur = jax.lax.dynamic_slice(P, (r0, c0, 0),
+                                        (rows0, nc0, hidden))
+            P = jax.lax.dynamic_update_slice(P, cur + acc0[i], (r0, c0, 0))
+            r1 = origins[i, 0] // f1
+            c1_ = origins[i, 1] // f1
+            cur1 = jax.lax.dynamic_slice(C1, (r1, c1_, 0),
+                                         (rows1, nc1, hidden))
+            C1 = jax.lax.dynamic_update_slice(C1, cur1 + acc1[i],
+                                              (r1, c1_, 0))
+        return P, C1
+
+    # one-hot placement contractions (see _scatter_embed) — the parallel
+    # form of the 2·crops-deep serialized RMW chain above
+    e0r = _scatter_embed(origins[:, 0] // f, rows0, g0_nodes + 1)
+    e0c = _scatter_embed(origins[:, 1] // f, nc0, g0_nodes + 1)
+    t = jnp.einsum("irR,irch->iRch", e0r, acc0)
+    P = jnp.einsum("icC,iRch->RCh", e0c, t)
+    e1r = _scatter_embed(origins[:, 0] // f1, rows1, g1_nodes + 2)
+    e1c = _scatter_embed(origins[:, 1] // f1, nc1, g1_nodes + 2)
+    t = jnp.einsum("irR,irch->iRch", e1r, acc1)
+    C1 = jnp.einsum("icC,iRch->RCh", e1c, t)
     return P, C1
 
 
