@@ -36,7 +36,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from nic.parallel.mesh import shard_map_nocheck
 
 from nic.kernels.decode_fused_3d import _call3, _prepare_3d
 from nic.kernels.decode_fused_v2 import _call, _prepare_2d
@@ -115,11 +115,10 @@ def decode_image_fused_sharded(
         )
         return out[None]
 
-    out = shard_map(
-        local, mesh=mesh,
+    out = shard_map_nocheck(
+        local, mesh,
         in_specs=(blk, blk, blk, P(), P(), P(), P()),
         out_specs=blk,
-        check_rep=False,
     )(pcs, c1s, peus, w2, b2, w3, b3)
     return out.reshape(n, n, 3)
 
@@ -178,10 +177,9 @@ def decode_volume_fused_sharded(
         )
         return out[None]
 
-    out = shard_map(
-        local, mesh=mesh,
+    out = shard_map_nocheck(
+        local, mesh,
         in_specs=(blk, blk, P(), P(), P(), P(), P()),
         out_specs=blk,
-        check_rep=False,
     )(pcs, c1s, pe_u, w2, b2, w3, b3)
     return out.reshape(n, n, n, 3)

@@ -61,3 +61,23 @@ def replicate(tree, mesh: Mesh | None):
         return tree
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_map_nocheck(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across the jax 0.8 API
+    move (jax.shard_map/check_vma replaced
+    jax.experimental.shard_map/check_rep)."""
+    try:
+        from jax import shard_map as _sm
+
+        try:
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        except TypeError:  # pragma: no cover — older signature
+            return _sm(f, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs)
+    except ImportError:  # pragma: no cover — jax < 0.8
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)

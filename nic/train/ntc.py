@@ -570,7 +570,7 @@ class NTCTrainer:
         tx_fp, tx_mlp = self._tx_fp, self._tx_mlp
 
         if any_sharded:
-            from jax.experimental.shard_map import shard_map
+            from nic.parallel.mesh import shard_map_nocheck
             from jax.sharding import PartitionSpec as P
 
             from nic.kernels.train_fused import (fused_mlp_loss_ng,
@@ -671,11 +671,10 @@ class NTCTrainer:
                     grads = jax.lax.pmean(grads, "data")
                 return jax.lax.pmean(loss, "data"), out, tgt, grads
 
-            sharded_grads = shard_map(
-                _inner, mesh=mesh,
+            sharded_grads = shard_map_nocheck(
+                _inner, mesh,
                 in_specs=(P(), P(), P("data"), P()),
                 out_specs=(P(), P("data"), P("data"), P()),
-                check_rep=False,
             )
 
         def train_step(fp, mlp, opt_fp, opt_mlp, key):
