@@ -217,9 +217,15 @@ def _kernel_ff3(org_ref, *refs, cd, inv_total: float, gelu: str,
     z3 = dz1.reshape(rowsb * n, n, hidden)     # [(slab,a1), a2, H]
     s2 = jnp.sum(z3, axis=0)                   # [n, H]  (a2 sums)
     rsum = jnp.sum(z3, axis=1)                 # [rowsb·n, H]
-    r4 = rsum.reshape(rowsb, n, hidden)
-    s0 = jnp.sum(r4, axis=1)                   # [rowsb, H]  (slab sums)
-    s1 = jnp.sum(r4, axis=0)                   # [n, H]  (a1 sums)
+    # per-slab static slices instead of a reshape: Mosaic rejects the
+    # [rowsb·n, H] → [rowsb, n, H] relayout ("non-singleton logical
+    # dimension is replicated in destination") after the axis-1 reduce
+    parts = [rsum[i * n:(i + 1) * n] for i in range(rowsb)]
+    s1 = parts[0]
+    for p in parts[1:]:
+        s1 = s1 + p                            # [n, H]  (a1 sums)
+    s0 = jnp.concatenate(
+        [jnp.sum(p, axis=0, keepdims=True) for p in parts], axis=0)
     dsum_ref[0, :rowsb, :] = s0
     dsum_ref[0, rowsb:rowsb + n, :] = s1
     dsum_ref[0, rowsb + n:rowsb + 2 * n, :] = s2
