@@ -375,7 +375,8 @@ class NTCTrainer:
             if num_crops % data_axis_size == 0:
                 crops_loc = num_crops // data_axis_size
                 if forward == "kernel3":
-                    use_k3_sharded, ks_rowsb, ks_f = _k3_gate(crops_loc)
+                    gate = _k3_gate if ndim == 2 else _k3d_gate
+                    use_k3_sharded, ks_rowsb, ks_f = gate(crops_loc)
                 if not use_k3_sharded:
                     use_kernel_sharded, ks_rowsb, ks_f = _k2_gate(crops_loc)
         any_sharded = use_kernel_sharded or use_k3_sharded
@@ -606,11 +607,23 @@ class NTCTrainer:
 
                     t = jax.vmap(tone)(origins_l)
                     tgt = jnp.moveaxis(t, 1, -1).reshape(-1, 3)
-                    loss, out = fused_train_ff(
-                        fpc[fl * 2], fpc[fl * 2 + 1], mlp_, tgt, origins_l,
-                        seed, crops_l, n, ks_rowsb, ks_f, cfg.pe_channels,
-                        float(lod), matmul_dtype, train_gelu, nbits,
-                    )
+                    if ndim == 2:
+                        loss, out = fused_train_ff(
+                            fpc[fl * 2], fpc[fl * 2 + 1], mlp_, tgt,
+                            origins_l, seed, crops_l, n, ks_rowsb, ks_f,
+                            cfg.pe_channels, float(lod), matmul_dtype,
+                            train_gelu, nbits,
+                        )
+                    else:
+                        from nic.kernels.train_fused_ff3 import (
+                            fused_train_ff3)
+
+                        loss, out = fused_train_ff3(
+                            fpc[fl * 2], fpc[fl * 2 + 1], mlp_, tgt,
+                            origins_l, seed[:3], crops_l, n, ks_rowsb,
+                            ks_f, cfg.pe_channels, float(lod), sparse_g0,
+                            use_tri_pe, matmul_dtype, train_gelu, nbits,
+                        )
                     return loss, (out, tgt)
 
                 def local_loss(fp_, mlp_):

@@ -998,3 +998,40 @@ def test_trainer_kernel3_3d_matches_gather(method, noise):
         # stay in the same band
         np.testing.assert_allclose(res["gather"], res["kernel3"],
                                    rtol=0.15)
+
+
+def test_trainer_kernel3_3d_sharded_matches_single():
+    """3D kernel3 under a mesh: the feature-free 3D kernel shard_maps per
+    device over the crop axis (node noise — bit-comparable stream);
+    losses must match the single-device kernel3 run."""
+    from nic.config import CompressionConfig
+    from nic.parallel.mesh import make_mesh
+    from nic.train.ntc import NTCTrainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    rng = np.random.default_rng(5)
+    vol = rng.uniform(0, 1, (3, 16, 16, 16)).astype(np.float32)
+    cfg = lambda: CompressionConfig(
+        image_size=16, image_dimension=3, compression_method=3,
+        crop_mip_level=3, num_crops=2, num_epochs=50, max_mip_level=4,
+        mlp_num_dtype=16, train_forward="kernel3", train_gelu="erf",
+        qat_noise_where="node",
+    )
+    import nic.kernels.train_fused_ff3 as tff3
+    tff3.INTERPRET = True
+    try:
+        tr_single = NTCTrainer(cfg(), [vol])
+        losses_single, _ = tr_single.train_many(3, chunk=3)
+        assert tr_single._forward_mode == "kernel3"
+
+        mesh = make_mesh(8, data_axis=2)
+        with mesh:
+            tr_sh = NTCTrainer(cfg(), [vol], mesh=mesh)
+            losses_sh, _ = tr_sh.train_many(3, chunk=3)
+            assert tr_sh._forward_mode == "kernel3_sharded"
+    finally:
+        tff3.INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(losses_sh),
+                               np.asarray(losses_single), rtol=1e-5)
