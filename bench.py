@@ -280,6 +280,7 @@ def main() -> None:
     # the apples-to-apples row vs the reference's own training loop
     train_steps_s = bench_train_steps(
         mlp_num_dtype=32, qat_noise_where="feature")
+    train_3d = None
     if on_tpu:
         try:
             # mip/LOD training at the defaults (per-LOD branches engage
@@ -289,6 +290,16 @@ def main() -> None:
                 mlp_num_dtype=None, tf_write_psnr=False, tf_no_mip=False)
         except Exception as e:  # pragma: no cover
             result["train_mip_note"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            # 3D/spatiotemporal training at the defaults (misty 64³
+            # method-3 protocol — auto → the 3D feature-free kernel)
+            train_3d = bench_train_steps(
+                num_steps=1000, mlp_num_dtype=None, tf_write_psnr=False,
+                compression_method=3, image_dimension=3,
+                image_path="data/misty_64_64.avi", image_size=64,
+                max_mip_level=6, crop_mip_level=5)
+        except Exception as e:  # pragma: no cover
+            result["train_3d_note"] = f"{type(e).__name__}: {e}"[:160]
 
     out = {
         "metric": "ntc_decode_throughput_2048px",
@@ -313,6 +324,8 @@ def main() -> None:
         out["train_steps_s_note"] = train_fast_err
     if train_mip is not None:
         out["train_steps_s_mip"] = round(train_mip, 2)
+    if train_3d is not None:
+        out["train_steps_s_3d_m3"] = round(train_3d, 2)
     # hyperprior codec end-to-end decode (host format-2 rANS + device
     # transforms), when a trained checkpoint is present in this tree
     try:
