@@ -1035,3 +1035,35 @@ def test_trainer_kernel3_3d_sharded_matches_single():
 
     np.testing.assert_allclose(np.asarray(losses_sh),
                                np.asarray(losses_single), rtol=1e-5)
+
+
+def test_accumulate_node_planes_vectorized_matches_loop(monkeypatch):
+    """2D crop-placement: the one-hot contractions vs the original
+    serialized dynamic_update_slice chain (NIC_UNFOLD2D_LOOP=1)."""
+    from nic.kernels import train_fused as tf
+
+    crops, hidden = 3, 16
+    n, step, data_size = 16, 0.5, 64
+    f = int(round(1.0 / step))
+    rowsb = 8
+    f1 = 2 * f
+    B = n // rowsb
+    nr0 = (rowsb + f - 2) // f + 1
+    nc0 = (n + f - 2) // f + 1
+    nr1 = (rowsb + f1 - 2) // f1 + 2
+    nc1 = n // f1 + 2
+    g0n = int(data_size * step) + 1
+    g1n = int(data_size * step / 2) + 1
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    dp = jax.random.normal(ks[0], (crops * B, nr0, nc0 + 3, hidden))
+    dc1 = jax.random.normal(ks[1], (crops * B, nr1, nc1 + 1, hidden))
+    origins = jax.random.randint(ks[2], (crops, 2), 0, data_size - n + 1)
+
+    kw = dict(crops=crops, ncols=n, rowsb=rowsb, f=f, g0_nodes=g0n,
+              g1_nodes=g1n, hidden=hidden)
+    p_vec, c_vec = tf._accumulate_node_planes(dp, dc1, origins, **kw)
+    monkeypatch.setenv("NIC_UNFOLD2D_LOOP", "1")
+    p_loop, c_loop = tf._accumulate_node_planes(dp, dc1, origins, **kw)
+    for a, b, tag in ((p_vec, p_loop, "P"), (c_vec, c_loop, "C1")):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-12))
+        assert rel < 1e-6, (tag, rel)
