@@ -847,15 +847,22 @@ def _ng_packable(crops: int, ncols: int, rowsb: int, hidden: int,
 
 
 def _accumulate_node_planes(dp, dc1, origins, *, crops: int, ncols: int,
-                            rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
+                            rowsb: int, f: int, g0_nodes, g1_nodes,
                             hidden: int):
     """Overlap-add the per-block node planes and place each crop's window
     into full-grid accumulators. Returns (P, C1) with P
-    [g0_nodes+1, g0_nodes+1, H] (cell-resolution dz1 sums) and C1
-    [g1_nodes+2, g1_nodes+2, H] (interp-weighted dz1 sums) — the
+    [g0_rows+1, g0_cols+1, H] (cell-resolution dz1 sums) and C1
+    [g1_rows+2, g1_cols+2, H] (interp-weighted dz1 sums) — the
     resolution-reduced cotangents both dG0/dG1 (via W1) and dW1 (via the
-    grid values, nic.kernels.train_fused_ff) contract against."""
+    grid values, nic.kernels.train_fused_ff) contract against.
+
+    ``g0_nodes``/``g1_nodes``: node counts per grid, an int (square) or a
+    (rows, cols) tuple (rectangular images — crops stay ncols×ncols)."""
     f32 = jnp.float32
+    g0r, g0c = ((g0_nodes, g0_nodes) if isinstance(g0_nodes, int)
+                else g0_nodes)
+    g1r, g1c = ((g1_nodes, g1_nodes) if isinstance(g1_nodes, int)
+                else g1_nodes)
     f1 = 2 * f
     B = (ncols * ncols) // (rowsb * ncols)
     nr0 = (rowsb + f - 2) // f + 1
@@ -879,8 +886,8 @@ def _accumulate_node_planes(dp, dc1, origins, *, crops: int, ncols: int,
 
     if os.environ.get("NIC_UNFOLD2D_LOOP") == "1":
         # original serialized dynamic_update_slice placement, kept for A/B
-        P = jnp.zeros((g0_nodes + 1, g0_nodes + 1, hidden), f32)
-        C1 = jnp.zeros((g1_nodes + 2, g1_nodes + 2, hidden), f32)
+        P = jnp.zeros((g0r + 1, g0c + 1, hidden), f32)
+        C1 = jnp.zeros((g1r + 2, g1c + 2, hidden), f32)
         for i in range(crops):
             r0 = origins[i, 0] // f
             c0 = origins[i, 1] // f
@@ -897,42 +904,47 @@ def _accumulate_node_planes(dp, dc1, origins, *, crops: int, ncols: int,
 
     # one-hot placement contractions (see _scatter_embed) — the parallel
     # form of the 2·crops-deep serialized RMW chain above
-    e0r = _scatter_embed(origins[:, 0] // f, rows0, g0_nodes + 1)
-    e0c = _scatter_embed(origins[:, 1] // f, nc0, g0_nodes + 1)
+    e0r = _scatter_embed(origins[:, 0] // f, rows0, g0r + 1)
+    e0c = _scatter_embed(origins[:, 1] // f, nc0, g0c + 1)
     t = jnp.einsum("irR,irch->iRch", e0r, acc0)
     P = jnp.einsum("icC,iRch->RCh", e0c, t)
-    e1r = _scatter_embed(origins[:, 0] // f1, rows1, g1_nodes + 2)
-    e1c = _scatter_embed(origins[:, 1] // f1, nc1, g1_nodes + 2)
+    e1r = _scatter_embed(origins[:, 0] // f1, rows1, g1r + 2)
+    e1c = _scatter_embed(origins[:, 1] // f1, nc1, g1c + 2)
     t = jnp.einsum("irR,irch->iRch", e1r, acc1)
     C1 = jnp.einsum("icC,iRch->RCh", e1c, t)
     return P, C1
 
 
 def _unfold_node_grads(dp, dc1, origins, w1, *, crops: int, ncols: int,
-                       rowsb: int, f: int, g0_nodes: int, g1_nodes: int,
+                       rowsb: int, f: int, g0_nodes, g1_nodes,
                        channels: int):
     """XLA-side backward tail: overlap-add the per-block node planes,
     place each crop's window into full-grid accumulators, and contract
-    with the W1 feature blocks → (dG0, dG1) in grid layout [C, s, s]."""
+    with the W1 feature blocks → (dG0, dG1) in grid layout [C, s, s]
+    ([C, sr, sc] for rectangular grids — node counts as int or tuple)."""
     f32 = jnp.float32
     hidden = w1.shape[1]
+    g0r, g0c = ((g0_nodes, g0_nodes) if isinstance(g0_nodes, int)
+                else g0_nodes)
+    g1r, g1c = ((g1_nodes, g1_nodes) if isinstance(g1_nodes, int)
+                else g1_nodes)
     P, C1 = _accumulate_node_planes(
         dp, dc1, origins, crops=crops, ncols=ncols, rowsb=rowsb, f=f,
-        g0_nodes=g0_nodes, g1_nodes=g1_nodes, hidden=hidden)
+        g0_nodes=(g0r, g0c), g1_nodes=(g1r, g1c), hidden=hidden)
 
     ch = channels
-    dg0 = jnp.zeros((g0_nodes + 2, g0_nodes + 2, ch), f32)
+    dg0 = jnp.zeros((g0r + 2, g0c + 2, ch), f32)
     for k, (o0, o1) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
         blk = w1[k * ch:(k + 1) * ch]          # [ch, H]
         t = jax.lax.dot_general(P, blk, (((2,), (1,)), ((), ())),
                                 preferred_element_type=f32)
-        dg0 = dg0.at[o0:o0 + g0_nodes + 1, o1:o1 + g0_nodes + 1].add(t)
-    dg0 = jnp.moveaxis(dg0[:g0_nodes, :g0_nodes], -1, 0)
+        dg0 = dg0.at[o0:o0 + g0r + 1, o1:o1 + g0c + 1].add(t)
+    dg0 = jnp.moveaxis(dg0[:g0r, :g0c], -1, 0)
 
     blk1 = w1[4 * ch:5 * ch]
     t1 = jax.lax.dot_general(C1, blk1, (((2,), (1,)), ((), ())),
                              preferred_element_type=f32)
-    dg1 = jnp.moveaxis(t1[:g1_nodes, :g1_nodes], -1, 0)
+    dg1 = jnp.moveaxis(t1[:g1r, :g1c], -1, 0)
     return dg0, dg1
 
 
@@ -988,7 +1000,8 @@ def _bwd_ng(crops, ncols, rowsb, f, matmul_dtype, gelu, res, cot):
     g_loss, _ = cot
     dg0, dg1 = _unfold_node_grads(
         dp, dc1, origins, w1, crops=crops, ncols=ncols, rowsb=rowsb, f=f,
-        g0_nodes=g0_shape[1], g1_nodes=g1_shape[1], channels=g0_shape[0])
+        g0_nodes=(g0_shape[1], g0_shape[2]),
+        g1_nodes=(g1_shape[1], g1_shape[2]), channels=g0_shape[0])
     dmlp = jax.tree.map(lambda t: t * g_loss, grads)
     feat = w1.shape[0]
     oc = grads["w3"].shape[1]

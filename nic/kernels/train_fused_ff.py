@@ -428,12 +428,15 @@ def _impl_ff(g0, g1, w1, b1, w2, b2, w3, b3, tgt, origins, seed, *,
     lay = _layout3(hidden, oc, fslot)
 
     # ---- fold the first layer into the grids (node resolution) ----
+    # (per-axis cell counts: rectangular images have [C, sr, sc] grids;
+    # crops are still n×n so the kernel geometry is unchanged)
     corners = ((0, 0), (0, 1), (1, 0), (1, 1))
-    cells = g0.shape[1] - 1
+    cells_r = g0.shape[1] - 1
+    cells_c = g0.shape[2] - 1
     p_plane = None
     for k, (a, b) in enumerate(corners):
         sl = jnp.moveaxis(
-            g0[:, a : a + cells, b : b + cells], 0, -1)   # [cells, cells, C]
+            g0[:, a : a + cells_r, b : b + cells_c], 0, -1)  # [cr, cc, C]
         blk = w1[k * ch : (k + 1) * ch].astype(cd)
         term = jax.lax.dot_general(
             sl.astype(cd), blk, (((2,), (0,)), ((), ())),
@@ -638,14 +641,14 @@ def _unfold_ff(dp, dc1, origins, g0, g1, w1, db1, dpe0, dpe1, *,
     f32 = jnp.float32
     hidden = w1.shape[1]
     ch = channels
-    g0_nodes = g0.shape[1]
-    g1_nodes = g1.shape[1]
+    g0r, g0c = g0.shape[1], g0.shape[2]
+    g1r, g1c = g1.shape[1], g1.shape[2]
     pacc, c1acc = _accumulate_node_planes(
         dp, dc1, origins, crops=crops, ncols=n, rowsb=rowsb, f=f,
-        g0_nodes=g0_nodes, g1_nodes=g1_nodes, hidden=hidden)
+        g0_nodes=(g0r, g0c), g1_nodes=(g1r, g1c), hidden=hidden)
 
     corners = ((0, 0), (0, 1), (1, 0), (1, 1))
-    dg0 = jnp.zeros((g0_nodes + 2, g0_nodes + 2, ch), f32)
+    dg0 = jnp.zeros((g0r + 2, g0c + 2, ch), f32)
     g0p = jnp.pad(g0.astype(f32), ((0, 0), (0, 2), (0, 2)))
     g1p = jnp.pad(g1.astype(f32), ((0, 0), (0, 2), (0, 2)))
     w1_rows = []
@@ -653,20 +656,20 @@ def _unfold_ff(dp, dc1, origins, g0, g1, w1, db1, dpe0, dpe1, *,
         blk = w1[k * ch : (k + 1) * ch]
         t = jax.lax.dot_general(pacc, blk, (((2,), (1,)), ((), ())),
                                 preferred_element_type=f32)
-        dg0 = dg0.at[a : a + g0_nodes + 1, b : b + g0_nodes + 1].add(t)
+        dg0 = dg0.at[a : a + g0r + 1, b : b + g0c + 1].add(t)
         # dW1 block k: grid window ⊗ accumulated dP
-        gsl = g0p[:, a : a + g0_nodes + 1, b : b + g0_nodes + 1]
+        gsl = g0p[:, a : a + g0r + 1, b : b + g0c + 1]
         w1_rows.append(jax.lax.dot_general(
             gsl.reshape(ch, -1), pacc.reshape(-1, hidden),
             (((1,), (0,)), ((), ())), preferred_element_type=f32))
-    dg0 = jnp.moveaxis(dg0[:g0_nodes, :g0_nodes], -1, 0)
+    dg0 = jnp.moveaxis(dg0[:g0r, :g0c], -1, 0)
 
     blk1 = w1[4 * ch : 5 * ch]
     t1 = jax.lax.dot_general(c1acc, blk1, (((2,), (1,)), ((), ())),
                              preferred_element_type=f32)
-    dg1 = jnp.moveaxis(t1[:g1_nodes, :g1_nodes], -1, 0)
+    dg1 = jnp.moveaxis(t1[:g1r, :g1c], -1, 0)
     w1_rows.append(jax.lax.dot_general(
-        g1p[:, : g1_nodes + 2, : g1_nodes + 2].reshape(ch, -1),
+        g1p[:, : g1r + 2, : g1c + 2].reshape(ch, -1),
         c1acc.reshape(-1, hidden),
         (((1,), (0,)), ((), ())), preferred_element_type=f32))
     w1_rows.append(dpe0)

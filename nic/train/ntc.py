@@ -249,7 +249,9 @@ class NTCTrainer:
 
             if not (0 < step <= 1 and ndim in (2, 3)
                     and not (ndim == 2 and sparse_g0) and crops_eff >= 1
-                    and len(set(data_hw)) == 1):
+                    # 2D handles rectangular images (per-axis node planes
+                    # in the unfold); 3D stays cubic
+                    and (ndim == 2 or len(set(data_hw)) == 1)):
                 return False, None, None
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
@@ -303,8 +305,7 @@ class NTCTrainer:
             if not (ndim == 2 and not sparse_g0 and use_tri_pe
                     and 0 < step <= 1
                     and cfg.pe_channels <= 8 and crops_eff >= 1
-                    and num_crops * n * n * fslot < 2**31
-                    and len(set(data_hw)) == 1):
+                    and num_crops * n * n * fslot < 2**31):
                 return False, None, None
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
