@@ -214,21 +214,25 @@ def _kernel_ff3(org_ref, *refs, cd, inv_total: float, gelu: str,
             preferred_element_type=f32)
 
     # ---- dz1 row sums for the PE gradients (contracted in XLA) ----
+    # ONE one-hot indicator matmul on the 2D dz1 [R, H]: Mosaic rejects
+    # the relayouts that vector reductions over the [slab, a1, a2]
+    # reshape produce ("non-singleton logical dimension is replicated in
+    # destination" — both the axis-1 reduce and its per-slab static-slice
+    # variant hit it on chip), so the three grouped row sums ride the MXU
+    # instead. Row r of dz1 decomposes as r = (slab·n + a1)·n + a2; the
+    # indicator stacks [slab-groups | a1-groups | a2-groups] so the
+    # product lands in dsum's exact layout.
+    nsum = rowsb + 2 * n
+    g_i = jax.lax.broadcasted_iota(jnp.int32, (nsum, R), 0)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (nsum, R), 1)
+    e_slab = (g_i < rowsb) & (r_i // (n * n) == g_i)
+    e_a1 = ((g_i >= rowsb) & (g_i < rowsb + n)
+            & ((r_i // n) % n == g_i - rowsb))
+    e_a2 = (g_i >= rowsb + n) & (r_i % n == g_i - rowsb - n)
+    esum = (e_slab | e_a1 | e_a2).astype(f32)
+    dsum_ref[0, :nsum, :] = jax.lax.dot_general(
+        esum, dz1, (((1,), (0,)), ((), ())), preferred_element_type=f32)
     z3 = dz1.reshape(rowsb * n, n, hidden)     # [(slab,a1), a2, H]
-    s2 = jnp.sum(z3, axis=0)                   # [n, H]  (a2 sums)
-    rsum = jnp.sum(z3, axis=1)                 # [rowsb·n, H]
-    # per-slab static slices instead of a reshape: Mosaic rejects the
-    # [rowsb·n, H] → [rowsb, n, H] relayout ("non-singleton logical
-    # dimension is replicated in destination") after the axis-1 reduce
-    parts = [rsum[i * n:(i + 1) * n] for i in range(rowsb)]
-    s1 = parts[0]
-    for p in parts[1:]:
-        s1 = s1 + p                            # [n, H]  (a1 sums)
-    s0 = jnp.concatenate(
-        [jnp.sum(p, axis=0, keepdims=True) for p in parts], axis=0)
-    dsum_ref[0, :rowsb, :] = s0
-    dsum_ref[0, rowsb:rowsb + n, :] = s1
-    dsum_ref[0, rowsb + n:rowsb + 2 * n, :] = s2
 
     # ---- node-resolution grid cotangents (_kernel_ng3's reductions) ----
     o1 = org_ref[crop, 1]
