@@ -90,7 +90,15 @@ def main() -> None:
     from nic.train.ntc import NTCTrainer
 
     epochs = int(os.environ.get("SWEEP_EPOCHS", "20000"))
+    # SWEEP_CELLS=m3,m4 re-runs only cells whose tag starts with one of
+    # the prefixes, MERGING into the existing JSON (other rows kept) —
+    # for re-running cells that died to transient compile-server errors.
+    only = [p for p in os.environ.get("SWEEP_CELLS", "").split(",") if p]
     rows = []
+    if only and os.path.exists("results/r4_gelu_parity.json"):
+        with open("results/r4_gelu_parity.json") as f:
+            rows = [r for r in json.load(f)["rows"]
+                    if not any(r["cell"].startswith(p) for p in only)]
 
     def run_cell(tag, mips, **kw):
         cfg = CompressionConfig(num_epochs=epochs, qat_noise_where="node",
@@ -120,6 +128,8 @@ def main() -> None:
         # one bad cell (e.g. a kernel compile regression) must not kill
         # the sweep — record the error and keep going; rows flush
         # incrementally so a crash still leaves the partial table
+        if only and not any(tag.startswith(p) for p in only):
+            return
         try:
             run_cell(tag, mips, **kw)
         except Exception as e:  # pragma: no cover
