@@ -356,6 +356,81 @@ def main() -> None:
                 t = float(np.median(ts))
                 px = img.shape[0] * img.shape[1]
                 out["hyperprior_decode_mpix_s_wall"] = round(px / t / 1e6, 3)
+
+                # co-located figure: host rANS + device transforms (fori
+                # slope) + host glue. The wall number above is dominated
+                # by the axon tunnel's per-call staging, which a
+                # co-located TPU host does not pay — methodology and the
+                # full stage split in scripts/bench_hyperprior_decode.py.
+                import jax
+
+                from nic.io import entropy as ec
+                from nic.native import rans_decode
+
+                n_ch = blob["z_shape"][-1]
+                cdf_z = codec._cdf_z(blob["a_z"])
+                count_z = int(np.prod(blob["z_shape"]))
+                bins_z = np.tile(np.arange(n_ch, dtype=np.int32),
+                                 count_z // n_ch)
+                z_syms = rans_decode(blob["z"], bins_z, cdf_z)
+                z_hat = (z_syms - blob["a_z"]).reshape(blob["z_shape"])
+                bins_y = np.asarray(codec._h_s_bins(
+                    jnp.asarray(z_hat, np.float32))).reshape(-1)
+                cdf_y = ec.gaussian_cdf_table(blob["a_y"])
+                y_syms = rans_decode(blob["y"], bins_y, cdf_y)
+                y_hat = (y_syms - blob["a_y"]).reshape(blob["y_shape"])
+
+                def _med(fn, n=7):
+                    fn()
+                    ms = []
+                    for _ in range(n):
+                        t0 = time.perf_counter()
+                        fn()
+                        ms.append(time.perf_counter() - t0)
+                    return float(np.median(ms))
+
+                t_rans = _med(lambda: (rans_decode(blob["z"], bins_z, cdf_z),
+                                       rans_decode(blob["y"], bins_y, cdf_y)))
+
+                def _glue():
+                    ec.gaussian_cdf_table(blob["a_y"])
+                    (z_syms - blob["a_z"]).reshape(blob["z_shape"])
+                    (y_syms - blob["a_y"]).reshape(blob["y_shape"])
+                    np.tile(np.arange(n_ch, dtype=np.int32),
+                            count_z // n_ch)
+
+                t_glue = _med(_glue)
+
+                m, p = tr.model, tr.params
+                zj = jnp.asarray(z_hat, np.float32)
+                yj = jnp.asarray(y_hat, np.float32)
+
+                def _slope(fn, arg, kbig=24, ksmall=2, reps=5):
+                    def make(k):
+                        @jax.jit
+                        def run(a):
+                            def body(i, s):
+                                o = fn(a + s * 1e-30)
+                                return jnp.sum(
+                                    o.astype(jnp.float32)) * 1e-9
+                            return jax.lax.fori_loop(
+                                0, k, body, jnp.float32(0.0))
+                        float(run(arg))
+                        ms = []
+                        for _ in range(reps):
+                            t0 = time.perf_counter()
+                            float(run(arg))
+                            ms.append(time.perf_counter() - t0)
+                        return float(np.min(ms))
+                    t1, tk = make(ksmall), make(kbig)
+                    return (tk - t1) / (kbig - ksmall)
+
+                t_dev = (_slope(lambda z: m.apply(
+                             p, z, method=m.hyper_synthesis), zj)
+                         + _slope(lambda y: m.apply(
+                             p, y, method=m.synthesis), yj))
+                out["hyperprior_decode_mpix_s_colocated"] = round(
+                    px / (t_rans + t_dev + t_glue) / 1e6, 3)
     except Exception as e:  # pragma: no cover
         out["hyperprior_decode_note"] = f"{type(e).__name__}: {e}"[:160]
     out.update(result)
