@@ -77,13 +77,19 @@ def run(argv=None):
     fl = mip_to_level[mip]
     step = 2.0 ** (mip - (fl + 1) * 2)
     n = image_size // (2**mip)
+    isz_2d = (
+        (image_size, image_size_w)
+        if image_size_w and image_size_w != image_size else image_size
+    )
 
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "fast"
-    if image_size_w and image_size_w != image_size:
-        # rectangular artifacts decode through the folded path (the fused
-        # kernels are square-gated; per-axis counts ride the fold)
+    rect = bool(image_size_w) and image_size_w != image_size
+    if rect and (ndim != 2 or backend == "xla"):
+        # rectangular is 2D; the unfused xla path is square-only — route
+        # rect to the folded path there (the fused v2 kernel takes
+        # rectangular geometry natively since round 5)
         backend = "fast"
     if backend == "pallas" and ndim == 2 and sparse_g0:
         # sparse G0 is 3D-only in the reference; no 2D kernel covers it
@@ -106,7 +112,7 @@ def run(argv=None):
         else:
             decode = jax.jit(
                 lambda fp, mlp: decode_image_fused_sharded(
-                    fp, mlp, mip, mesh, image_size=image_size,
+                    fp, mlp, mip, mesh, image_size=isz_2d,
                     mip_to_level=mip_to_level, pe_channels=pe_channels,
                     use_tri_pe=use_tri_pe, gelu=args.gelu,
                 )
@@ -128,7 +134,7 @@ def run(argv=None):
 
             decode = jax.jit(
                 lambda fp, mlp: decode_image_fused_v2(
-                    fp, mlp, mip, image_size=image_size,
+                    fp, mlp, mip, image_size=isz_2d,
                     mip_to_level=mip_to_level, pe_channels=pe_channels,
                     use_tri_pe=use_tri_pe, gelu=args.gelu,
                 )

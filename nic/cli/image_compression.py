@@ -82,7 +82,7 @@ def run(argv=None) -> dict:
 
         mesh = make_mesh()  # all visible devices, crops data-parallel
         log(f"data parallel over mesh {mesh.shape}")
-    trainer = NTCTrainer(cfg, images, mesh=mesh)
+    trainer = NTCTrainer(cfg, images, mesh=mesh, log=log)
     for g in trainer.state.fp:
         log_safe_statistics(g, log)
 

@@ -390,17 +390,25 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
 
 
 def _prepare_2d(
-    fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
+    fp, mlp, mip_level: int, *, image_size, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool, dtype, block_rows, block_cols,
 ):
     """Host/XLA column stage shared by the single-device entry and the
     row-sharded multi-device entry (nic.kernels.decode_sharded). Returns
     ``None`` when the geometry needs the XLA fallback, else
     ``(pc, c1v, pe_u, w2, b2, w3, b3, geom)`` with ``geom`` the static
-    kwargs for ``_call``."""
+    kwargs for ``_call``.
+
+    ``image_size`` may be an int (square) or an (H, W) pair — NATIVE
+    rectangular geometry (the Kodak 768×512 target; the reference is
+    square-only, var2.py:60). The kernel body is already rectangular
+    (``_call``'s n×nc grid); rows and columns just carry separate counts
+    through the column stage."""
+    hw = ((image_size, image_size) if isinstance(image_size, int)
+          else tuple(image_size))
     fl = mip_to_level[mip_level]
     e = mip_level - (fl + 1) * 2
-    n = image_size // (2**mip_level)
+    nr, ncl = (s // (2**mip_level) for s in hw)
     channels = fp[fl * 2].shape[0]
 
     f = 1 << (-e) if e < 0 else 1
@@ -410,8 +418,8 @@ def _prepare_2d(
     # MLPs take 2× wider column blocks — at n=2048 that makes ncol=1 (no
     # retile transposes, fully contiguous windows): measured +39%
     hidden_ = mlp["w2"].shape[0]
-    C = block_cols or min(n, 2048 if 2 * hidden_ == 128 else 1024)
-    if e > 0 or n % R or n < R or n % C or R % f1 or R % f:
+    C = block_cols or min(ncl, 2048 if 2 * hidden_ == 128 else 1024)
+    if e > 0 or nr % R or nr < R or ncl % C or R % f1 or R % f:
         return None
 
     p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
@@ -422,30 +430,33 @@ def _prepare_2d(
         c1_plane = c1_plane.astype(dtype)
 
     # ---- column stage (XLA, cell-column resolution) ----
-    # P: nearest column upsample, rows cropped to the N/f the kernel reads
-    pc = _axis_take_up(p_plane, e, n, 0, axis=1)[: n // f]  # [N/f, N, H]
+    # P: nearest column upsample, rows cropped to the NR/f the kernel reads
+    pc = _axis_take_up(p_plane, e, ncl, 0, axis=1)[: nr // f]  # [NR/f, NC, H]
 
     # C1: column interp at t_v = v·2^(e-1) (weights always active at e ≤ 0).
     # j1 = v // f1 and j1+1 are pure repeat+shift patterns at origin 0, so
     # the two samples are layout ops (repeat + slice), not gathers.
-    tv = jnp.arange(n, dtype=jnp.float32) * (2.0 ** (e - 1))
+    tv = jnp.arange(ncl, dtype=jnp.float32) * (2.0 ** (e - 1))
     j1 = jnp.floor(tv).astype(jnp.int32)
     fv = (tv - j1.astype(jnp.float32)).astype(c1_plane.dtype)[None, :, None]
-    rows = n // f1 + 1
+    rows = nr // f1 + 1
+    cols_nodes = ncl // f1 + 1
     c1r = jax.lax.slice_in_dim(c1_plane, 0, rows, axis=0)
-    c1c = jax.lax.slice_in_dim(c1r, 0, rows, axis=1)
-    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, N+f1, H]
-    c1a = jax.lax.slice_in_dim(rep, 0, n, axis=1)
-    c1b = jax.lax.slice_in_dim(rep, f1, n + f1, axis=1)
-    c1v = (1.0 - fv) * c1a + fv * c1b  # [N/f1+1, N, H]
+    c1c = jax.lax.slice_in_dim(c1r, 0, cols_nodes, axis=1)
+    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, NC+f1, H]
+    c1a = jax.lax.slice_in_dim(rep, 0, ncl, axis=1)
+    c1b = jax.lax.slice_in_dim(rep, f1, ncl + f1, axis=1)
+    c1v = (1.0 - fv) * c1a + fv * c1b  # [NR/f1+1, NC, H]
 
     # separable PE tables folded through W1; the column term + bias + LOD
     # folds into C1 (row-interp weights sum to 1)
-    t = jnp.arange(n, dtype=jnp.float32) * (2.0 ** (e - 1))
+    tu = jnp.arange(nr, dtype=jnp.float32) * (2.0 ** (e - 1))
     pe_fn = triangular_pe if use_tri_pe else sinusoidal_pe
-    table = pe_fn(t[None, :], pe_channels).T  # [N, PE]
-    pe_u = (table @ pe_blocks[0]).astype(pc.dtype)  # [N, H]
-    a_col = table @ pe_blocks[1] + mlp["b1"] + float(mip_level) * w_lod
+    table_u = pe_fn(tu[None, :], pe_channels).T  # [NR, PE]
+    pe_u = (table_u @ pe_blocks[0]).astype(pc.dtype)  # [NR, H]
+    table_v = (table_u if ncl == nr
+               else pe_fn(tv[None, :], pe_channels).T)  # [NC, PE]
+    a_col = table_v @ pe_blocks[1] + mlp["b1"] + float(mip_level) * w_lod
     c1v = (c1v + a_col[None, :, :]).astype(pc.dtype)
 
     w2, b2 = mlp["w2"], mlp["b2"]
@@ -458,20 +469,23 @@ def _prepare_2d(
         2 * hidden == 128
         and C % 16 == 0
         and (R * C // 2) % 128 == 0
-        and n % 2 == 0
+        and ncl % 2 == 0
     )
-    geom = dict(n=n, R=R, C=C, f=f, f1=f1, packed=packed)
+    geom = dict(n=nr, nc=ncl, R=R, C=C, f=f, f1=f1, packed=packed)
     return pc, c1v, pe_u, w2, b2, w3, b3, geom
 
 
 def decode_image_fused_v2(
-    fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
+    fp, mlp, mip_level: int, *, image_size, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool = True, g1_quirk: bool = True,
     dtype=None, out_dtype=jnp.float32, block_rows: int | None = None,
     block_cols: int | None = None, gelu: str = "exact",
     z1_matmul: bool | str = False,
 ):
     """Full-image 2D fused decode, v2 rev2 (one Pallas kernel).
+
+    ``image_size``: int (square) or (H, W) — native rectangular decode
+    runs through the same kernel (rectangular tile grid).
 
     ``z1_matmul``: route the z1 build (P row-upsample + C1 row-interp)
     through the MXU instead of VPU element-ops (``_kernel_z1mm``);
@@ -484,10 +498,14 @@ def decode_image_fused_v2(
     )
     if prep is None:
         # thumbnail mips / odd sizes: XLA fast path
+        hw = ((image_size, image_size) if isinstance(image_size, int)
+              else tuple(image_size))
         out = fast_decode(
-            fp, mlp, mip_level, image_size=image_size,
+            fp, mlp, mip_level, image_size=hw[0],
             mip_to_level=mip_to_level, pe_channels=pe_channels,
             use_tri_pe=use_tri_pe, ndim=2, g1_quirk=g1_quirk,
+            n=(None if hw[0] == hw[1]
+               else tuple(s // (2**mip_level) for s in hw)),
         )
         return out.astype(out_dtype)
     pc, c1v, pe_u, w2, b2, w3, b3, geom = prep

@@ -83,6 +83,7 @@ def decode_image_fused_sharded(
         return single()
     pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
     n, R, C, f, f1 = geom["n"], geom["R"], geom["C"], geom["f"], geom["f1"]
+    nc = geom.get("nc", n)  # output columns (rectangular geometry)
     if n % D or (n // D) % R or (n // D) % f1 or (n // D) % f:
         return single()
     nr = n // D  # output rows per device
@@ -92,7 +93,7 @@ def decode_image_fused_sharded(
     # P rows and row-PE split disjointly; C1 node-row windows overlap by
     # exactly one halo row, duplicated here (D static slices of a
     # node-resolution plane — cheap) instead of exchanged on ICI.
-    pcs = pc.reshape(D, nr // f, n, hidden)
+    pcs = pc.reshape(D, nr // f, nc, hidden)
     rows_loc = nr // f1 + 1
     c1s = jnp.stack(
         [
@@ -109,7 +110,7 @@ def decode_image_fused_sharded(
     def local(pc_l, c1_l, pe_l, w2_, b2_, w3_, b3_):
         out = _call(
             pc_l[0], c1_l[0], pe_l[0], w2_, b2_, w3_, b3_,
-            n=nr, nc=n, out_dtype=out_dtype, gelu=gelu,
+            n=nr, nc=nc, out_dtype=out_dtype, gelu=gelu,
             R=geom["R"], C=geom["C"], f=geom["f"], f1=geom["f1"],
             packed=geom["packed"],
         )
@@ -120,7 +121,7 @@ def decode_image_fused_sharded(
         in_specs=(blk, blk, blk, P(), P(), P(), P()),
         out_specs=blk,
     )(pcs, c1s, peus, w2, b2, w3, b3)
-    return out.reshape(n, n, 3)
+    return out.reshape(n, nc, 3)
 
 
 def decode_volume_fused_sharded(

@@ -98,10 +98,19 @@ class NTCState:
 
 
 class NTCTrainer:
-    def __init__(self, cfg: CompressionConfig, images, *, mesh=None):
+    def __init__(self, cfg: CompressionConfig, images, *, mesh=None,
+                 log=None):
         """images: list indexed by mip level of [3, s, s] (2D) or
-        [3, s, s, s] (3D) float arrays in [0, 1]."""
+        [3, s, s, s] (3D) float arrays in [0, 1].
+
+        ``log``: optional ``RunLog``-style callable; when set, the
+        trainer emits one line per (lod, frozen) train-step build and per
+        mip decode build saying which forward/backend the auto gates
+        resolved to — and, when a faster kernel was rejected, the first
+        failed gate condition (round-5 gate-visibility directive)."""
         self.cfg = cfg
+        self.log = log if log is not None else (lambda *_a, **_k: None)
+        self._gate_logged: set = set()
         # true mixed precision (unlike the reference's broken all-fp16 path,
         # readme.md:9): params/optimizer state stay fp32 masters; the
         # forward/backward compute in bf16 when MLP_NUM_DTYPE=16
@@ -242,6 +251,14 @@ class NTCTrainer:
         # scatter (nic.kernels.train_fused, node-gradient section). Gated
         # to the 2D dense-G0 power-of-two lattice with step ≤ 1; anything
         # else falls back to the dx-writeback kernel ("kernel" mode).
+        # first-failed-condition notes from the kernel gates, surfaced in
+        # the one-line gate log (round-5 gate-visibility directive)
+        gate_notes: list = []
+
+        def _fail(msg):
+            gate_notes.append(msg)
+            return False, None, None
+
         def _k2_gate(crops_eff: int):
             """kernel2 lattice-geometry gate for ``crops_eff`` crops per
             device; returns (ok, rowsb, f)."""
@@ -252,15 +269,20 @@ class NTCTrainer:
                     # 2D handles rectangular images (per-axis node planes
                     # in the unfold); 3D stays cubic
                     and (ndim == 2 or len(set(data_hw)) == 1)):
-                return False, None, None
+                return _fail(
+                    f"kernel2: lattice gate (step={step}, ndim={ndim}, "
+                    f"sparse_g0={sparse_g0}, crops={crops_eff}, "
+                    f"data_hw={data_hw})")
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
-                return False, None, None
+                return _fail(f"kernel2: 1/step={f_inv:.4g} not an integer")
             f = int(round(f_inv))
             f1 = 2 * f
             rows_cap = pick_block_rows(crops_eff * n**ndim)
             if rows_cap is None:
-                return False, None, None
+                return _fail(
+                    f"kernel2: {crops_eff * n**ndim} pixels unsupported "
+                    "by the block-row picker")
             if ndim == 2:
                 rowsb = min(max(rows_cap // n, f1), n)
                 ok = (f1 <= 8 and n % rowsb == 0 and rowsb % f1 == 0
@@ -279,6 +301,10 @@ class NTCTrainer:
                 ok = (f1 <= 8 and rowsb >= 1 and n % rowsb == 0
                       and (n + 8) % f == 0 and (n + 8) % f1 == 0
                       and (rowsb * n * n) % 128 == 0)
+            if not ok:
+                return _fail(
+                    f"kernel2: block geometry (n={n}, rowsb={rowsb}, "
+                    f"f1={f1})")
             return ok, rowsb, f
 
         # TRAIN_FORWARD=kernel3: the feature build itself moves into the
@@ -306,20 +332,31 @@ class NTCTrainer:
                     and 0 < step <= 1
                     and cfg.pe_channels <= 8 and crops_eff >= 1
                     and num_crops * n * n * fslot < 2**31):
-                return False, None, None
+                return _fail(
+                    f"kernel3: needs 2D dense-G0 triangular-PE with "
+                    f"step ≤ 1 and pe ≤ 8 (ndim={ndim}, "
+                    f"sparse_g0={sparse_g0}, tri_pe={use_tri_pe}, "
+                    f"step={step}, pe={cfg.pe_channels})")
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
-                return False, None, None
+                return _fail(f"kernel3: 1/step={f_inv:.4g} not an integer")
             f = int(round(f_inv))
             rows_cap = pick_block_rows(crops_eff * n * n)
             if rows_cap is None:
-                return False, None, None
+                return _fail(
+                    f"kernel3: {crops_eff * n * n} pixels unsupported by "
+                    "the block-row picker")
             rowsb = min(max(rows_cap // n, 2 * f), n // 2)
             if rowsb < 1 or n % rowsb:
-                return False, None, None
+                return _fail(
+                    f"kernel3: row block {rowsb} does not tile n={n}")
             ok = ff_geometry(crops=crops_eff, n=n, rowsb=rowsb, f=f,
                              hidden=cfg.hidden_layer_channels,
                              pe_channels=cfg.pe_channels)
+            if not ok:
+                return _fail(
+                    f"kernel3: ff_geometry rejected (n={n}, rowsb={rowsb},"
+                    f" f={f}) — VMEM/lane constraints")
             return ok, rowsb, f
 
         # 3D kernel3 gate (nic.kernels.train_fused_ff3): same lattice
@@ -336,20 +373,31 @@ class NTCTrainer:
                     and cfg.pe_channels <= 8
                     and num_crops * n**3 * fslot < 2**31
                     and len(set(data_hw)) == 1):
-                return False, None, None
+                return _fail(
+                    f"kernel3-3d: needs a cubic 3D lattice with step ≤ 1 "
+                    f"and pe ≤ 8 (ndim={ndim}, step={step}, "
+                    f"pe={cfg.pe_channels}, data_hw={data_hw})")
             f_inv = 1.0 / step
             if abs(f_inv - round(f_inv)) >= 1e-9:
-                return False, None, None
+                return _fail(
+                    f"kernel3-3d: 1/step={f_inv:.4g} not an integer")
             f = int(round(f_inv))
             rows_cap = pick_block_rows(crops_eff * n**3)
             if rows_cap is None:
-                return False, None, None
+                return _fail(
+                    f"kernel3-3d: {crops_eff * n**3} voxels unsupported "
+                    "by the block-row picker")
             rowsb = min(max(rows_cap // (n * n), 1), n)
             if rowsb < 1 or n % rowsb:
-                return False, None, None
+                return _fail(
+                    f"kernel3-3d: slab block {rowsb} does not tile n={n}")
             ok = ff3_geometry(crops=crops_eff, n=n, rowsb=rowsb, f=f,
                               hidden=cfg.hidden_layer_channels,
                               pe_channels=cfg.pe_channels, nfeat=nfeat_l)
+            if not ok:
+                return _fail(
+                    f"kernel3-3d: ff3_geometry rejected (n={n}, "
+                    f"rowsb={rowsb}, f={f}) — VMEM/lane constraints")
             return ok, rowsb, f
 
         use_kernel3 = False
@@ -388,6 +436,21 @@ class NTCTrainer:
                               "kernel2" if use_kernel2 else
                               "kernel" if use_kernel else
                               "folded" if use_folded else "gather")
+        # one-line gate visibility (RunLog): what the auto gates resolved
+        # to, and — when a faster kernel was rejected — the first failed
+        # condition, so a 434-vs-230 steps/s gap is diagnosable from the
+        # printlog alone
+        gate_key = ("step", lod, frozen)
+        if gate_key not in self._gate_logged:
+            self._gate_logged.add(gate_key)
+            line = (f"train forward gate (lod={lod}, frozen={frozen}): "
+                    f"{self._forward_mode}"
+                    f" [TRAIN_FORWARD={cfg.train_forward}"
+                    + (f" -> {forward}" if cfg.train_forward == "auto"
+                       else "") + "]")
+            if gate_notes:
+                line += " — " + "; ".join(gate_notes)
+            self.log(line)
         mip_to_level = self.mip_to_level
 
         def noised_grids(fp, noise_key):
@@ -1033,12 +1096,16 @@ class NTCTrainer:
             int(np.prod(self.mesh.devices.shape)) if self.mesh is not None
             else 1
         )
+        branch = None  # gate-visibility label, logged below
         if div_slice == 1:
-            if backend == "pallas" and ndim == 2 and not sparse_g0 \
-                    and not rect:
+            if backend == "pallas" and ndim == 2 and not sparse_g0:
+                branch = ("fused-v2 sharded" if n_mesh_dev > 1
+                          else "fused-v2") + (" rect" if rect else "")
                 # fused Pallas kernel (nic.kernels.decode_fused_v2 rev2) —
                 # the fastest backend on TPU (falls back to fast_decode
-                # internally for thumbnail mips / odd sizes); on a
+                # internally for thumbnail mips / odd sizes); rectangular
+                # (IMAGE_SIZE_W — the Kodak 768×512 geometry) rides the
+                # same kernel via a rectangular tile grid; on a
                 # multi-device mesh the image rows shard over the devices
                 # (nic.kernels.decode_sharded — SP over the pixel axis)
                 from nic.kernels.decode_fused_v2 import decode_image_fused_v2
@@ -1047,20 +1114,23 @@ class NTCTrainer:
 
                 m2l = self.mip_to_level
                 mesh = self.mesh
+                isz = hw if rect else cfg.image_size
 
                 def decode(fp, mlp):
                     if n_mesh_dev > 1:
                         return decode_image_fused_sharded(
-                            fp, mlp, mip, mesh, image_size=cfg.image_size,
+                            fp, mlp, mip, mesh, image_size=isz,
                             mip_to_level=m2l, pe_channels=cfg.pe_channels,
                             use_tri_pe=use_tri_pe, g1_quirk=cfg.tf_g1_quirk,
                         )
                     return decode_image_fused_v2(
-                        fp, mlp, mip, image_size=cfg.image_size,
+                        fp, mlp, mip, image_size=isz,
                         mip_to_level=m2l, pe_channels=cfg.pe_channels,
                         use_tri_pe=use_tri_pe, g1_quirk=cfg.tf_g1_quirk,
                     )
             elif backend == "pallas" and ndim == 3:
+                branch = ("fused-3d sharded" if n_mesh_dev > 1
+                          else "fused-3d")
                 # fused spatiotemporal kernel (nic.kernels.decode_fused_3d)
                 # — methods 3 AND 4 (sparse G0 only changes the host-side
                 # P fold); same internal thumbnail-mip fallback; frames
@@ -1087,6 +1157,9 @@ class NTCTrainer:
                         g1_quirk=cfg.tf_g1_quirk,
                     )
             elif backend in ("fast", "pallas") or rect:
+                branch = ("folded-xla (pallas ineligible: sparse-G0 2D)"
+                          if backend == "pallas" else
+                          "folded-xla rect" if rect else "folded-xla")
                 # folded-first-layer decode (nic.grids.fastdecode): exact,
                 # ~2× fewer matmul FLOPs, no [N, F] feature matrix
                 # (pallas lands here for 3D / sparse-G0 artifacts;
@@ -1105,6 +1178,8 @@ class NTCTrainer:
                         n=decode_hw if rect else None,
                     )
             else:
+                branch = "xla gather"
+
                 def decode(fp, mlp):
                     return tile(fp, mlp, jnp.zeros((ndim,), jnp.int32))
         else:
@@ -1157,6 +1232,10 @@ class NTCTrainer:
                 def all_tiles(fp, mlp):
                     return jax.vmap(lambda o: tile(fp, mlp, o))(origins)
 
+            branch = (f"tiled ({div_slice ** ndim} tiles, "
+                      + ("folded-xla" if backend in ("fast", "pallas")
+                         else "xla gather") + ")")
+
             def decode(fp, mlp):
                 tiles = all_tiles(fp, mlp)
                 if mesh is not None:
@@ -1170,6 +1249,11 @@ class NTCTrainer:
                 t = tiles.reshape((div_slice,) * ndim + (n,) * ndim + (3,))
                 return t.transpose(perm).reshape((decode_size,) * ndim + (3,))
 
+        gate_key = ("decode", mip, div_size)
+        if gate_key not in self._gate_logged:
+            self._gate_logged.add(gate_key)
+            self.log(f"decode backend gate (mip={mip}): {branch} "
+                     f"[DECODE_BACKEND={cfg.decode_backend} -> {backend}]")
         return jax.jit(decode)
 
     def decode(self, mip: int, div_size: int | None = None,

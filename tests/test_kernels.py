@@ -255,6 +255,91 @@ def test_fused_v2_lane_packed_path():
     np.testing.assert_allclose(got2, want, atol=2e-5)
 
 
+@pytest.mark.parametrize("hw", [(64, 96), (96, 64)])
+@pytest.mark.parametrize("mip", [0, 1, 2])
+def test_fused_v2_rectangular_matches_fastdecode(hw, mip):
+    """NATIVE rectangular geometry (IMAGE_SIZE_W — the Kodak 768×512
+    target; the reference is square-only, var2.py:60) must ride the SAME
+    fused kernel: v2's tile grid is n_rows×n_cols. Parity vs the folded
+    XLA path with per-axis sample counts. Covers e ∈ {-2, -1, 0} and
+    both orientations."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    base = tuple(s // 4 for s in hw)
+    c, pe = 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(hw[0], min(base), no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, 16, 3)
+    ns = tuple(s // (2**mip) for s in hw)
+    want = np.asarray(
+        fast_decode(fp, mlp, mip, image_size=hw[0], mip_to_level=m2l,
+                    pe_channels=pe, ndim=2, n=ns)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, mip, image_size=hw, mip_to_level=m2l,
+                pe_channels=pe,
+            )
+        )
+    assert got.shape == ns + (3,)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_v2_rectangular_lane_packed():
+    """Rect + the packed (hidden=64, reference-default) layout: the
+    column count drives packing/retiling, the row count the tile grid —
+    an axis swap anywhere would scramble the image."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    hw, c, pe, hidden = (64, 96), 12, 6, 64
+    base = tuple(s // 4 for s in hw)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(hw[0], min(base), no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, hidden, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=hw[0], mip_to_level=m2l,
+                    pe_channels=pe, ndim=2, n=hw)
+    )
+    import nic.kernels.decode_fused_v2 as v2mod
+
+    seen = []
+    orig = v2mod._call
+
+    def spy(*a, **kw):
+        seen.append(kw.get("packed"))
+        return orig(*a, **kw)
+
+    v2mod._call = spy
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(
+                decode_image_fused_v2(
+                    fp, mlp, 0, image_size=hw, mip_to_level=m2l,
+                    pe_channels=pe,
+                )
+            )
+            # multi-column-block grid forces the retile path too (48-wide
+            # blocks fail the packed sublane gate — unpacked rect kernel)
+            got2 = np.asarray(
+                decode_image_fused_v2(
+                    fp, mlp, 0, image_size=hw, mip_to_level=m2l,
+                    pe_channels=pe, block_cols=48,
+                )
+            )
+    finally:
+        v2mod._call = orig
+    # the default single-block geometry must select the packed layout
+    assert seen[0] is True
+    assert got.shape == hw + (3,)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    np.testing.assert_allclose(got2, want, atol=2e-5)
+
+
 @pytest.mark.parametrize("sparse_g0", [False, True])
 @pytest.mark.parametrize("mip", [0, 1, 2, 3, 4])
 def test_fused_3d_matches_fastdecode(mip, sparse_g0):
