@@ -170,6 +170,34 @@ def bench_decode(backend: str, image_size: int, dtype=None,
     return image_size * image_size / t / 1e9
 
 
+def bench_decode_rect(hw=(512, 768), dtype=None, gelu: str = "tanh") -> float:
+    """Kodak-geometry (rectangular, H×W = 512×768) fused decode — round-5
+    directive #1: native rectangular rides the SAME Pallas kernel
+    (decode_fused_v2's n×nc tile grid) instead of the ~10×-slower folded
+    XLA fallback it used to hit. Honest fori-loop slope like the rest."""
+    import jax
+
+    from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+    from nic.models.mlp import init_mlp
+    from scripts.honest_bench import honest_decode_time
+
+    base = tuple(s // 4 for s in hw)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    fp, _ = create_pyramid(k1, base, CHANNELS, num_bits=8, ndim=2,
+                           no_mip=True)
+    m2l = pyramid_mip_levels(hw[0], min(base), no_mip=True)
+    mlp = init_mlp(k2, CHANNELS * 5 + PE * 2 + 1, HIDDEN, 3)
+
+    def fn(fp, mlp):
+        return decode_image_fused_v2(
+            fp, mlp, 0, image_size=hw, mip_to_level=m2l, pe_channels=PE,
+            use_tri_pe=True, dtype=dtype, gelu=gelu)
+
+    t = honest_decode_time(fn, fp, mlp, kbig=48, ksmall=2)
+    return hw[0] * hw[1] / t / 1e9
+
+
 def bench_train_steps(num_steps: int = 2000, mlp_num_dtype: int | None = 32,
                       **kw) -> float:
     """NTC train steps/s at flagship shapes (8 × 256² crops/step,
@@ -250,6 +278,15 @@ def main() -> None:
                              gelu="tanh"), 4)
         except Exception as e:  # pragma: no cover
             result["pallas_512_note"] = f"{type(e).__name__}: {e}"[:160]
+        # Kodak-geometry rectangular decode (512×768 native) through the
+        # fused kernel — the round-5 rect plumbing's driver-visible field
+        try:
+            result["pallas_rect_kodak_tanh_gpix_s"] = round(
+                bench_decode_rect(dtype=jnp.bfloat16, gelu="tanh"), 4)
+            result["pallas_rect_kodak_exact_gpix_s"] = round(
+                bench_decode_rect(dtype=jnp.bfloat16, gelu="exact"), 4)
+        except Exception as e:  # pragma: no cover
+            result["rect_note"] = f"{type(e).__name__}: {e}"[:160]
         # 3D/spatiotemporal full-volume decode (misty 64³ protocol):
         # fused kernel vs the folded XLA tier the movie family used to run
         try:
@@ -281,6 +318,7 @@ def main() -> None:
     train_steps_s = bench_train_steps(
         mlp_num_dtype=32, qat_noise_where="feature")
     train_3d = None
+    train_3d_m4 = None
     if on_tpu:
         try:
             # mip/LOD training at the defaults (per-LOD branches engage
@@ -300,6 +338,18 @@ def main() -> None:
                 max_mip_level=6, crop_mip_level=5)
         except Exception as e:  # pragma: no cover
             result["train_3d_note"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            # method 4 (the reference's 提案手法/"proposed" — half its own
+            # sweep grid, 仮想環境起動 python実行 改.bat:6-18): sparse
+            # 4-corner G0 + sinusoidal PE, same misty 64³ protocol
+            train_3d_m4 = bench_train_steps(
+                num_steps=1000, mlp_num_dtype=None, tf_write_psnr=False,
+                compression_method=4, image_dimension=3,
+                image_path="data/misty_64_64.avi", image_size=64,
+                max_mip_level=6, crop_mip_level=5)
+        except Exception as e:  # pragma: no cover
+            train_3d_m4 = None
+            result["train_3d_m4_note"] = f"{type(e).__name__}: {e}"[:160]
 
     out = {
         "metric": "ntc_decode_throughput_2048px",
@@ -326,6 +376,8 @@ def main() -> None:
         out["train_steps_s_mip"] = round(train_mip, 2)
     if train_3d is not None:
         out["train_steps_s_3d_m3"] = round(train_3d, 2)
+    if train_3d_m4 is not None:
+        out["train_steps_s_3d_m4"] = round(train_3d_m4, 2)
     # hyperprior codec end-to-end decode (host format-2 rANS + device
     # transforms), when a trained checkpoint is present in this tree
     try:
@@ -358,79 +410,19 @@ def main() -> None:
                 out["hyperprior_decode_mpix_s_wall"] = round(px / t / 1e6, 3)
 
                 # co-located figure: host rANS + device transforms (fori
-                # slope) + host glue. The wall number above is dominated
-                # by the axon tunnel's per-call staging, which a
-                # co-located TPU host does not pay — methodology and the
-                # full stage split in scripts/bench_hyperprior_decode.py.
-                import jax
+                # slope, INCLUDING the fused σ→bin map the real decode
+                # runs) + host glue — the single shared implementation
+                # (nic.train.hyperprior.bench_decode_stages, also behind
+                # scripts/bench_hyperprior_decode.py). The wall number
+                # above is dominated by the axon tunnel's per-call
+                # staging, which a co-located TPU host does not pay;
+                # stage definitions and the one documented exclusion
+                # (the int32 bin-index D2H) live on the helper docstring.
+                from nic.train.hyperprior import bench_decode_stages
 
-                from nic.io import entropy as ec
-                from nic.native import rans_decode
-
-                n_ch = blob["z_shape"][-1]
-                cdf_z = codec._cdf_z(blob["a_z"])
-                count_z = int(np.prod(blob["z_shape"]))
-                bins_z = np.tile(np.arange(n_ch, dtype=np.int32),
-                                 count_z // n_ch)
-                z_syms = rans_decode(blob["z"], bins_z, cdf_z)
-                z_hat = (z_syms - blob["a_z"]).reshape(blob["z_shape"])
-                bins_y = np.asarray(codec._h_s_bins(
-                    jnp.asarray(z_hat, np.float32))).reshape(-1)
-                cdf_y = ec.gaussian_cdf_table(blob["a_y"])
-                y_syms = rans_decode(blob["y"], bins_y, cdf_y)
-                y_hat = (y_syms - blob["a_y"]).reshape(blob["y_shape"])
-
-                def _med(fn, n=7):
-                    fn()
-                    ms = []
-                    for _ in range(n):
-                        t0 = time.perf_counter()
-                        fn()
-                        ms.append(time.perf_counter() - t0)
-                    return float(np.median(ms))
-
-                t_rans = _med(lambda: (rans_decode(blob["z"], bins_z, cdf_z),
-                                       rans_decode(blob["y"], bins_y, cdf_y)))
-
-                def _glue():
-                    ec.gaussian_cdf_table(blob["a_y"])
-                    (z_syms - blob["a_z"]).reshape(blob["z_shape"])
-                    (y_syms - blob["a_y"]).reshape(blob["y_shape"])
-                    np.tile(np.arange(n_ch, dtype=np.int32),
-                            count_z // n_ch)
-
-                t_glue = _med(_glue)
-
-                m, p = tr.model, tr.params
-                zj = jnp.asarray(z_hat, np.float32)
-                yj = jnp.asarray(y_hat, np.float32)
-
-                def _slope(fn, arg, kbig=24, ksmall=2, reps=5):
-                    def make(k):
-                        @jax.jit
-                        def run(a):
-                            def body(i, s):
-                                o = fn(a + s * 1e-30)
-                                return jnp.sum(
-                                    o.astype(jnp.float32)) * 1e-9
-                            return jax.lax.fori_loop(
-                                0, k, body, jnp.float32(0.0))
-                        float(run(arg))
-                        ms = []
-                        for _ in range(reps):
-                            t0 = time.perf_counter()
-                            float(run(arg))
-                            ms.append(time.perf_counter() - t0)
-                        return float(np.min(ms))
-                    t1, tk = make(ksmall), make(kbig)
-                    return (tk - t1) / (kbig - ksmall)
-
-                t_dev = (_slope(lambda z: m.apply(
-                             p, z, method=m.hyper_synthesis), zj)
-                         + _slope(lambda y: m.apply(
-                             p, y, method=m.synthesis), yj))
-                out["hyperprior_decode_mpix_s_colocated"] = round(
-                    px / (t_rans + t_dev + t_glue) / 1e6, 3)
+                stages = bench_decode_stages(codec, blob, px, iters=7)
+                out["hyperprior_decode_mpix_s_colocated"] = (
+                    stages["colocated_mpix_s"])
     except Exception as e:  # pragma: no cover
         out["hyperprior_decode_note"] = f"{type(e).__name__}: {e}"[:160]
     out.update(result)

@@ -272,6 +272,7 @@ class HyperpriorCodec:
             idx = jnp.ceil((jnp.log(s) - ln_min) * inv_step)
             return jnp.clip(idx, 0, NUM_SCALE_BINS - 1).astype(jnp.int32)
 
+        self._h_s_bins_body = h_s_bins  # unjitted (bench fori-loop slope)
         self._h_s_bins = jax.jit(h_s_bins)
         self._z_mu, self._z_log_s = m.apply(p, method=m.z_prior_params)
         self._cdf_z_cache: dict[int, np.ndarray] = {}
@@ -340,6 +341,103 @@ class HyperpriorCodec:
         x_hat = np.asarray(self._g_s(jnp.asarray(y_hat, np.float32)))
         h, w = blob["hw"]
         return np.clip(x_hat[0, :h, :w], 0, 1)
+
+
+def bench_decode_stages(codec: HyperpriorCodec, blob: dict, px: int,
+                        iters: int = 20) -> dict:
+    """Co-located decode stage split — the SINGLE implementation behind
+    both bench.py's ``hyperprior_decode_mpix_s_colocated`` field and
+    scripts/bench_hyperprior_decode.py (round-4 advisor: the two copies
+    had already drifted in how cdf_z was built; this one uses the codec's
+    own cached ``_cdf_z``, i.e. exactly what ``decompress`` runs).
+
+    Stages (all that a co-located TPU host pays):
+      - ``rans_ms``: host rANS decode of the z and y streams (format 3)
+      - ``host_glue_ms``: symbol→latent arithmetic, reshapes, cached
+        CDF-table lookups
+      - ``hyper_synthesis_bins_device_ms``: device hyper-synthesis
+        INCLUDING the fused σ→bin map — the real decode path runs
+        ``_h_s_bins``, not bare hyper-synthesis (round-4 advisor) —
+        measured as a fori-loop slope (bench.py round-2 methodology)
+      - ``synthesis_device_ms``: device synthesis transform, same slope
+
+    Documented exclusion: the int32 bin-index D2H fetch between
+    hyper-synthesis and the y-rANS decode. Through the axon tunnel that
+    fetch is staging-dominated and not separable from tunnel overhead;
+    co-located it is a ~256 KB PCIe copy (microseconds). The figure
+    therefore slightly favors the codec by that one fetch."""
+    import time
+
+    import jax
+
+    from nic.io import entropy as ec
+    from nic.native import rans_decode
+
+    n_ch = blob["z_shape"][-1]
+    cdf_z = codec._cdf_z(blob["a_z"])
+    count_z = int(np.prod(blob["z_shape"]))
+    bins_z = np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
+    z_syms = rans_decode(blob["z"], bins_z, cdf_z)
+    z_hat = (z_syms - blob["a_z"]).reshape(blob["z_shape"])
+    bins_y = np.asarray(
+        codec._h_s_bins(jnp.asarray(z_hat, np.float32))).reshape(-1)
+    cdf_y = ec.gaussian_cdf_table(blob["a_y"])
+    y_syms = rans_decode(blob["y"], bins_y, cdf_y)
+    y_hat = (y_syms - blob["a_y"]).reshape(blob["y_shape"])
+
+    def _med(fn, n=iters):
+        fn()
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_rans = _med(lambda: (rans_decode(blob["z"], bins_z, cdf_z),
+                           rans_decode(blob["y"], bins_y, cdf_y)))
+
+    def _glue():
+        ec.gaussian_cdf_table(blob["a_y"])
+        (z_syms - blob["a_z"]).reshape(blob["z_shape"])
+        (y_syms - blob["a_y"]).reshape(blob["y_shape"])
+        np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
+
+    t_glue = _med(_glue)
+
+    m, p = codec.t.model, codec.t.params
+    zj = jnp.asarray(z_hat, np.float32)
+    yj = jnp.asarray(y_hat, np.float32)
+
+    def _slope(fn, arg, kbig=24, ksmall=2, reps=5):
+        def make(k):
+            @jax.jit
+            def run(a):
+                def body(i, s):
+                    o = fn(a + s * 1e-30)
+                    return jnp.sum(o.astype(jnp.float32)) * 1e-9
+                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+            float(run(arg))
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                float(run(arg))
+                ts.append(time.perf_counter() - t0)
+            return float(np.min(ts))
+        t1, tk = make(ksmall), make(kbig)
+        return (tk - t1) / (kbig - ksmall)
+
+    t_hs = _slope(codec._h_s_bins_body, zj)
+    t_gs = _slope(lambda y: m.apply(p, y, method=m.synthesis), yj)
+    t_total = t_rans + t_hs + t_gs + t_glue
+    return {
+        "rans_ms": round(t_rans * 1e3, 3),
+        "host_glue_ms": round(t_glue * 1e3, 3),
+        "hyper_synthesis_bins_device_ms": round(t_hs * 1e3, 3),
+        "synthesis_device_ms": round(t_gs * 1e3, 3),
+        "device_mpix_s": round(px / (t_hs + t_gs) / 1e6, 3),
+        "colocated_mpix_s": round(px / t_total / 1e6, 3),
+    }
 
 
 def eval_image_set(trainer: HyperpriorTrainer, paths: list[str]):

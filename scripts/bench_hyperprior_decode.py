@@ -71,24 +71,33 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     t_e2e = float(np.median(times))
 
-    # stage split: rANS alone, transforms alone
+    # stage split: the SHARED implementation (also behind bench.py's
+    # colocated field) — nic.train.hyperprior.bench_decode_stages. It
+    # slopes the _h_s_bins body (hyper-synthesis + fused σ→bin map, the
+    # op the real decode runs) and documents the one exclusion (the int32
+    # bin-index D2H fetch, tunnel-staging here / PCIe-µs co-located).
     import jax.numpy as jnp
 
+    from nic.train.hyperprior import bench_decode_stages
+
+    stages = bench_decode_stages(codec, blob, px, iters=args.iters)
+
+    # wall transform time through the tunnel (staging-dominated; kept for
+    # the e2e-vs-colocated attribution)
     from nic.io import entropy as ec
     from nic.native import rans_decode
 
     n_ch = blob["z_shape"][-1]
-    cdf_z = ec.logistic_cdf_table(
-        np.asarray(codec._z_mu), np.asarray(codec._z_log_s), blob["a_z"])
+    cdf_z = codec._cdf_z(blob["a_z"])
     count_z = int(np.prod(blob["z_shape"]))
     bins_z = np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
     z_hat = (rans_decode(blob["z"], bins_z, cdf_z) - blob["a_z"]).reshape(
         blob["z_shape"])
-    # σ→bin mapping rides the jitted hyper-synthesis on device (codec
-    # _h_s_bins) — the decoder never fetches σ itself
     bins_y = np.asarray(
         codec._h_s_bins(jnp.asarray(z_hat, np.float32))).reshape(-1)
     cdf_y = ec.gaussian_cdf_table(blob["a_y"])
+    y_hat = (rans_decode(blob["y"], bins_y, cdf_y) - blob["a_y"]).reshape(
+        blob["y_shape"])
 
     def stage_time(fn, iters):
         fn()
@@ -99,58 +108,10 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t_rans = stage_time(
-        lambda: (rans_decode(blob["z"], bins_z, cdf_z),
-                 rans_decode(blob["y"], bins_y, cdf_y)), args.iters)
-    y_hat = (rans_decode(blob["y"], bins_y, cdf_y) - blob["a_y"]).reshape(
-        blob["y_shape"])
     t_xform = stage_time(
         lambda: (np.asarray(codec._h_s_bins(jnp.asarray(z_hat, np.float32))),
                  np.asarray(codec._g_s(jnp.asarray(y_hat, np.float32)))),
         args.iters)
-    # host glue that a co-located deployment still pays: symbol→latent
-    # arithmetic + reshapes + the (cached) table lookups
-    y_syms = rans_decode(blob["y"], bins_y, cdf_y)
-    z_syms = rans_decode(blob["z"], bins_z, cdf_z)
-
-    def glue():
-        ec.gaussian_cdf_table(blob["a_y"])
-        zz = (z_syms - blob["a_z"]).reshape(blob["z_shape"])
-        yy = (y_syms - blob["a_y"]).reshape(blob["y_shape"])
-        np.tile(np.arange(n_ch, dtype=np.int32), count_z // n_ch)
-        return zz, yy
-
-    t_glue = stage_time(glue, args.iters)
-
-    # device-only transform time (fori_loop slope, the bench.py
-    # methodology): separates actual conv compute from the tunnel's
-    # per-call H2D/D2H staging, which the wall numbers above include
-    import jax
-
-    m, p = trainer.model, trainer.params
-    zj = jnp.asarray(z_hat, np.float32)
-    yj = jnp.asarray(y_hat, np.float32)
-
-    def slope(fn, arg, kbig=24, ksmall=2, reps=5):
-        def make(k):
-            @jax.jit
-            def run(a):
-                def body(i, s):
-                    out = fn(a + s * 1e-30)
-                    return jnp.sum(out.astype(jnp.float32)) * 1e-9
-                return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
-            float(run(arg))
-            ts = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                float(run(arg))
-                ts.append(time.perf_counter() - t0)
-            return float(np.min(ts))
-        t1, tk = make(ksmall), make(kbig)
-        return (tk - t1) / (kbig - ksmall)
-
-    t_hs_dev = slope(lambda z: m.apply(p, z, method=m.hyper_synthesis), zj)
-    t_gs_dev = slope(lambda y: m.apply(p, y, method=m.synthesis), yj)
 
     print(json.dumps({
         "ckpt": ckpt, "image": args.image, "pixels": px,
@@ -158,18 +119,8 @@ def main() -> None:
         "bpp_bitstream": round(codec.num_bits(blob) / px, 4),
         "decode_ms_e2e": round(t_e2e * 1e3, 3),
         "decode_mpix_s": round(px / t_e2e / 1e6, 3),
-        "rans_ms": round(t_rans * 1e3, 3),
-        "transforms_ms": round(t_xform * 1e3, 3),
-        "hyper_synthesis_device_ms": round(t_hs_dev * 1e3, 3),
-        "synthesis_device_ms": round(t_gs_dev * 1e3, 3),
-        "device_mpix_s": round(px / (t_hs_dev + t_gs_dev) / 1e6, 3),
-        "host_glue_ms": round(t_glue * 1e3, 3),
-        # co-located ceiling: host rANS + device transforms + host glue
-        # (the tunnel's per-call staging excluded — a co-located host
-        # pays PCIe microseconds, not tunnel milliseconds; methodology
-        # as the round-3 97 MPix/s figure)
-        "colocated_mpix_s": round(
-            px / (t_rans + t_hs_dev + t_gs_dev + t_glue) / 1e6, 3),
+        "transforms_wall_ms": round(t_xform * 1e3, 3),
+        **stages,
         "iters": args.iters,
     }))
 
