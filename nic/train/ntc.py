@@ -126,10 +126,9 @@ class NTCTrainer:
         # the step; statistical parity only (the reference used torch RNG)
         key = jax.random.key(cfg.seed, impl=cfg.rng_impl)
         k_fp, k_mlp, self._key = jax.random.split(key, 3)
-        if cfg.is_rectangular and (self.ndim != 2 or not cfg.tf_no_mip):
+        if cfg.is_rectangular and self.ndim != 2:
             raise ValueError(
-                "rectangular geometry (IMAGE_SIZE_W) supports 2D no-mip "
-                "training only")
+                "rectangular geometry (IMAGE_SIZE_W) is 2D-only")
         fp, self.levels = fp_lib.create_pyramid(
             k_fp,
             cfg.feature_pyramid_hw if self.ndim == 2
@@ -143,8 +142,12 @@ class NTCTrainer:
         mlp = init_mlp(
             k_mlp, cfg.decoder_input_channels, cfg.hidden_layer_channels, 3, self.dtype
         )
+        # the mip→level map's level count must match create_pyramid's,
+        # which uses the SMALLEST axis for rectangular grids
+        base_for_levels = (min(cfg.feature_pyramid_hw) if self.ndim == 2
+                           else cfg.feature_pyramid_size)
         self.mip_to_level = fp_lib.pyramid_mip_levels(
-            cfg.image_size, cfg.feature_pyramid_size, cfg.tf_no_mip
+            cfg.image_size, base_for_levels, cfg.tf_no_mip
         )
 
         # two optax chains = the reference's two param groups
@@ -1077,6 +1080,11 @@ class NTCTrainer:
         rect = len(set(decode_hw)) > 1
         power = self.max_mip - mip
         div_slice = 2 ** max(power - div_size, 0)
+        if rect:
+            # rectangular decodes run full-frame (fused kernel or folded
+            # path, both rect-native); the square tile lattice below
+            # doesn't apply and memory is bounded by the folded planes
+            div_slice = 1
         n = decode_size // div_slice  # per-tile sample count
         sparse_g0 = self._sparse_g0()
         use_tri_pe = self._use_tri_pe()
