@@ -118,6 +118,24 @@ def _sweep_confirms_tanherf() -> bool:
         return False
 
 
+def _surgical_probe_lsb() -> dict:
+    """Measured u8 deviations of the surgical modes (fp32 planes + bf16
+    MXU dots) from results/r5_surgical_probe.json — a surgical mode
+    feeds value_exact only when its measured envelope ≤ the exact-erf
+    class cap (3 LSB, the r4 sweep's bf16-family floor)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "r5_surgical_probe.json")
+    try:
+        rows = json.load(open(path))["rows"]
+        return {r["gelu"]: r["u8_lsb"] for r in rows
+                if r["planes"] == "surgical"}
+    except Exception:
+        return {}
+
+
 def _decode_fn(backend: str, image_size: int, mip_to_level, dtype=None,
                gelu: str = "exact", z1_matmul: bool | str = False):
     import jax.numpy as jnp
@@ -269,6 +287,25 @@ def main() -> None:
                 if _sweep_confirms_tanherf():
                     exact_modes += ("tanherf",)
                 if kw.get("gelu", "exact") in exact_modes:
+                    best_exact = max(best_exact, g)
+            except Exception as e:  # pragma: no cover
+                result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]
+        # surgical modes (round 5): fp32 planes/windows/elementwise with
+        # bf16 ONLY at the MXU dots — the decode analogue of the training
+        # side's MLP_NUM_DTYPE=16 split. Joins value_exact per the
+        # measured per-mode u8 envelope (results/r5_surgical_probe.json).
+        probe_lsb = _surgical_probe_lsb()
+        for key, sgelu in (
+            ("pallas_surgical_exact_2048_gpix_s", "exact"),
+            ("pallas_surgical_tanherf_2048_gpix_s", "tanherf"),
+            ("pallas_surgical_tanh_2048_gpix_s", "tanh"),
+        ):
+            try:
+                g = bench_decode("pallas", BENCH_SIZE, dtype="surgical",
+                                 gelu=sgelu)
+                result[key] = round(g, 4)
+                best_big = max(best_big, g)
+                if probe_lsb.get(sgelu, 99) <= 3:
                     best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
                 result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]

@@ -34,6 +34,12 @@ def run(argv=None):
                         "'tanherf' (erf routed through the cheap hardware "
                         "tanh, |Δgelu| ≤ 1.4e-6) and 'erfpoly' "
                         "(|Δgelu| < 1e-6) are the exact-class modes")
+    p.add_argument("--dtype", choices=["fp32", "bf16", "surgical"],
+                   default="fp32",
+                   help="pallas plane pipeline: fp32 (default, exact), "
+                        "bf16 (single storage rounding, fastest), or "
+                        "surgical (fp32 planes, bf16 MXU dots — the "
+                        "exact-envelope fast mode; 2D only)")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     p.add_argument("--devices", type=int, default=1,
@@ -85,6 +91,10 @@ def run(argv=None):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "fast"
+    pdtype = {"fp32": None, "bf16": jnp.bfloat16,
+              "surgical": "surgical"}[args.dtype]
+    if ndim != 2 and args.dtype == "surgical":
+        pdtype = None  # surgical is a 2D-kernel mode; 3D stays fp32
     rect = bool(image_size_w) and image_size_w != image_size
     if rect and (ndim != 2 or backend == "xla"):
         # rectangular is 2D; the unfused xla path is square-only — route
@@ -114,7 +124,7 @@ def run(argv=None):
                 lambda fp, mlp: decode_image_fused_sharded(
                     fp, mlp, mip, mesh, image_size=isz_2d,
                     mip_to_level=mip_to_level, pe_channels=pe_channels,
-                    use_tri_pe=use_tri_pe, gelu=args.gelu,
+                    use_tri_pe=use_tri_pe, gelu=args.gelu, dtype=pdtype,
                 )
             )
     elif backend == "pallas":
@@ -136,7 +146,7 @@ def run(argv=None):
                 lambda fp, mlp: decode_image_fused_v2(
                     fp, mlp, mip, image_size=isz_2d,
                     mip_to_level=mip_to_level, pe_channels=pe_channels,
-                    use_tri_pe=use_tri_pe, gelu=args.gelu,
+                    use_tri_pe=use_tri_pe, gelu=args.gelu, dtype=pdtype,
                 )
             )
     elif backend == "fast":

@@ -422,14 +422,26 @@ def _prepare_2d(
     if e > 0 or nr % R or nr < R or ncl % C or R % f1 or R % f:
         return None
 
+    # ``dtype`` modes:
+    #   None      — fp32 everything (planes, kernel windows, MXU dots)
+    #   a dtype   — plane STORAGE and the MXU dots in that dtype; since
+    #               round 5 the fold + column-stage math always runs
+    #               fp32 and rounds ONCE at the end (the kernel's
+    #               elementwise chain was already fp32, so bf16-mode
+    #               error is now a single storage rounding, not an
+    #               accumulated bf16 pipeline)
+    #   "surgical" — fp32 planes/windows/elementwise, bf16 ONLY at the
+    #               MXU dots (W2/W3) — the decode analogue of the
+    #               training side's MLP_NUM_DTYPE=16 split (round-5
+    #               directive #3: exact envelope at fast-mode speed)
+    surgical = isinstance(dtype, str) and dtype == "surgical"
+    plane_dtype = None if surgical else dtype
+
     p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=2, channels=channels, pe_channels=pe_channels
     )
-    if dtype is not None:
-        p_plane = p_plane.astype(dtype)
-        c1_plane = c1_plane.astype(dtype)
 
-    # ---- column stage (XLA, cell-column resolution) ----
+    # ---- column stage (XLA, cell-column resolution; fp32 math) ----
     # P: nearest column upsample, rows cropped to the NR/f the kernel reads
     pc = _axis_take_up(p_plane, e, ncl, 0, axis=1)[: nr // f]  # [NR/f, NC, H]
 
@@ -453,16 +465,24 @@ def _prepare_2d(
     tu = jnp.arange(nr, dtype=jnp.float32) * (2.0 ** (e - 1))
     pe_fn = triangular_pe if use_tri_pe else sinusoidal_pe
     table_u = pe_fn(tu[None, :], pe_channels).T  # [NR, PE]
-    pe_u = (table_u @ pe_blocks[0]).astype(pc.dtype)  # [NR, H]
+    pe_u = table_u @ pe_blocks[0]  # [NR, H]
     table_v = (table_u if ncl == nr
                else pe_fn(tv[None, :], pe_channels).T)  # [NC, PE]
     a_col = table_v @ pe_blocks[1] + mlp["b1"] + float(mip_level) * w_lod
-    c1v = (c1v + a_col[None, :, :]).astype(pc.dtype)
+    c1v = c1v + a_col[None, :, :]
+    if plane_dtype is not None:  # single storage rounding at the end
+        pc = pc.astype(plane_dtype)
+        c1v = c1v.astype(plane_dtype)
+        pe_u = pe_u.astype(plane_dtype)
+    else:
+        pe_u = pe_u.astype(pc.dtype)
+        c1v = c1v.astype(pc.dtype)
 
     w2, b2 = mlp["w2"], mlp["b2"]
     w3, b3 = mlp["w3"], mlp["b3"]
-    if dtype is not None:
-        w2, w3 = w2.astype(dtype), w3.astype(dtype)
+    if dtype is not None:  # surgical: bf16 dots under fp32 planes
+        mxu_dtype = jnp.bfloat16 if surgical else dtype
+        w2, w3 = w2.astype(mxu_dtype), w3.astype(mxu_dtype)
 
     hidden = w2.shape[0]
     packed = (

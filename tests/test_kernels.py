@@ -255,6 +255,35 @@ def test_fused_v2_lane_packed_path():
     np.testing.assert_allclose(got2, want, atol=2e-5)
 
 
+@pytest.mark.parametrize("gelu", ["exact", "tanherf"])
+def test_fused_v2_surgical_mode(gelu):
+    """dtype="surgical" (round-5 directive #3): fp32 planes/windows with
+    bf16 only at the MXU dots. Must sit within one u8 step of the fp32
+    folded decode — far tighter than the all-bf16 plane pipeline's bound."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size, base, c, pe, hidden = 128, 32, 12, 6, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, hidden, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, ndim=2)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, dtype="surgical", gelu=gelu,
+            )
+        )
+    u8 = lambda a: np.clip(a * 255 + 0.5, 0, 255).astype(np.int32)
+    assert np.abs(got - want).max() < 2e-3  # bf16-dot rounding only
+    assert np.abs(u8(got) - u8(want)).max() <= 1
+
+
 @pytest.mark.parametrize("hw", [(64, 96), (96, 64)])
 @pytest.mark.parametrize("mip", [0, 1, 2])
 def test_fused_v2_rectangular_matches_fastdecode(hw, mip):
