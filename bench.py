@@ -356,6 +356,7 @@ def main() -> None:
         mlp_num_dtype=32, qat_noise_where="feature")
     train_3d = None
     train_3d_m4 = None
+    train_3d_mip = None
     if on_tpu:
         try:
             # mip/LOD training at the defaults (per-LOD branches engage
@@ -387,6 +388,18 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             train_3d_m4 = None
             result["train_3d_m4_note"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            # 3D mip/LOD mode (the sample19 LOD lineage on the 3D path):
+            # per-LOD branches engage ff3 where its gate holds, falling
+            # back per branch — the 3D analogue of train_steps_s_mip
+            train_3d_mip = bench_train_steps(
+                num_steps=1000, mlp_num_dtype=None, tf_write_psnr=False,
+                compression_method=3, image_dimension=3,
+                image_path="data/misty_64_64.avi", image_size=64,
+                max_mip_level=6, crop_mip_level=5, tf_no_mip=False)
+        except Exception as e:  # pragma: no cover
+            train_3d_mip = None
+            result["train_3d_mip_note"] = f"{type(e).__name__}: {e}"[:160]
 
     out = {
         "metric": "ntc_decode_throughput_2048px",
@@ -415,6 +428,8 @@ def main() -> None:
         out["train_steps_s_3d_m3"] = round(train_3d, 2)
     if train_3d_m4 is not None:
         out["train_steps_s_3d_m4"] = round(train_3d_m4, 2)
+    if train_3d_mip is not None:
+        out["train_steps_s_3d_m3_mip"] = round(train_3d_mip, 2)
     # hyperprior codec end-to-end decode (host format-2 rANS + device
     # transforms), when a trained checkpoint is present in this tree
     try:

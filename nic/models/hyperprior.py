@@ -82,15 +82,22 @@ class Analysis(nn.Module):
 
 class Synthesis(nn.Module):
     n: int = 128
+    # bf16 MXU inputs (fp32 accumulation) for the decode hot path — the
+    # dots are ~95% of the synthesis device time; reconstruction-only
+    # (never touches the bitstream), so the codec can enable it without
+    # any stream-format impact. None = fp32 dots (training default).
+    mxu_dtype: type | None = None
 
     @nn.compact
     def __call__(self, y):  # [B, H/16, W/16, M] → [B, H, W, 3]
         from nic.models.matmul_conv import MatmulConvTranspose
 
         for ch in (self.n, self.n, self.n):
-            y = MatmulConvTranspose(ch, 4, 2, 1, 0)(y)
+            y = MatmulConvTranspose(ch, 4, 2, 1, 0,
+                                    mxu_dtype=self.mxu_dtype)(y)
             y = nn.gelu(y)
-        return MatmulConvTranspose(3, 4, 2, 1, 0)(y)
+        return MatmulConvTranspose(3, 4, 2, 1, 0,
+                                   mxu_dtype=self.mxu_dtype)(y)
 
 
 class HyperAnalysis(nn.Module):
@@ -128,10 +135,14 @@ class HyperpriorModel(nn.Module):
 
     n: int = 128
     m: int = 192
+    # decode-path option: bf16 MXU inputs in the synthesis transform
+    # (parameters unchanged — a second model instance with this set can
+    # apply the SAME trained params; see HyperpriorCodec)
+    synthesis_mxu_dtype: type | None = None
 
     def setup(self):
         self.g_a = Analysis(self.n, self.m)
-        self.g_s = Synthesis(self.n)
+        self.g_s = Synthesis(self.n, mxu_dtype=self.synthesis_mxu_dtype)
         self.h_a = HyperAnalysis(self.n)
         self.h_s = HyperSynthesis(self.n, self.m)
         # factorized-prior parameters, one (μ, log s) per z channel

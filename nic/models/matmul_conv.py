@@ -94,6 +94,10 @@ class MatmulConv(nn.Module):
     stride: int = 2
     padding: int = 1
     dtype: type = jnp.float32
+    # feed the MXU dots in this dtype (fp32 accumulation stays) — the
+    # conv analogue of the NTC trainer's MLP_NUM_DTYPE=16 split; params
+    # and elementwise math keep ``dtype``. None = dots in ``dtype``.
+    mxu_dtype: type | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -106,6 +110,9 @@ class MatmulConv(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
         patches = _im2col(x.astype(self.dtype), self.kernel, self.stride,
                           self.padding, self.padding)
+        if self.mxu_dtype is not None:
+            patches = patches.astype(self.mxu_dtype)
+            w = w.astype(self.mxu_dtype)
         return jnp.dot(patches, w, preferred_element_type=jnp.float32).astype(
             self.dtype
         ) + b
@@ -144,7 +151,8 @@ def _conv_transpose_zero_insertion(x, w, k, s, p, op, features):
     return jnp.dot(patches, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _conv_transpose_polyphase(x, w, k, s, p, op, features):
+def _conv_transpose_polyphase(x, w, k, s, p, op, features,
+                              mxu_dtype=None):
     """torch ConvTranspose(k, s, p, output_padding=op) via the exact
     polyphase (subpixel) decomposition: each of the s^n output phases is a
     stride-1 conv AT INPUT RESOLUTION over the ≤⌈k/s⌉^n kernel taps that
@@ -195,6 +203,9 @@ def _conv_transpose_polyphase(x, w, k, s, p, op, features):
         w_rows = jnp.concatenate(
             [w[q * c_in : (q + 1) * c_in] for q in rows], axis=0
         )
+        if mxu_dtype is not None:
+            patches = patches.astype(mxu_dtype)
+            w_rows = w_rows.astype(mxu_dtype)
         ph = jnp.dot(patches, w_rows,
                      preferred_element_type=jnp.float32).astype(x.dtype)
         # pad phase to the common per-phase grid for interleaving
@@ -227,6 +238,7 @@ class MatmulConvTranspose(nn.Module):
     padding: int = 1
     output_padding: int = 1
     dtype: type = jnp.float32
+    mxu_dtype: type | None = None  # see MatmulConv.mxu_dtype
 
     @nn.compact
     def __call__(self, x):
@@ -239,6 +251,6 @@ class MatmulConvTranspose(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,), self.dtype)
         out = _conv_transpose_polyphase(
             x.astype(self.dtype), w, self.kernel, self.stride, self.padding,
-            self.output_padding, self.features,
+            self.output_padding, self.features, mxu_dtype=self.mxu_dtype,
         )
         return out + b

@@ -244,7 +244,14 @@ class HyperpriorCodec:
     Lossless w.r.t. the quantized latents: decompress reproduces exactly
     the trainer's hard-quantized evaluation output."""
 
-    def __init__(self, trainer: HyperpriorTrainer):
+    def __init__(self, trainer: HyperpriorTrainer,
+                 synthesis_mxu_dtype=None):
+        """``synthesis_mxu_dtype``: run the synthesis transform's MXU
+        dots with inputs in this dtype (fp32 accumulation) — the decode
+        hot path's dominant stage. Reconstruction-only (σ→bin and both
+        rANS streams stay fp32-exact), so streams are byte-identical
+        either way; quality/speed trade measured in
+        results/r5_hp_bf16_synth.json."""
         import math
 
         import jax
@@ -256,7 +263,14 @@ class HyperpriorCodec:
         self._g_a = jax.jit(lambda x: m.apply(p, x, method=m.analysis))
         self._h_a = jax.jit(lambda y: m.apply(p, y, method=m.hyper_analysis))
         self._h_s = jax.jit(lambda z: m.apply(p, z, method=m.hyper_synthesis))
-        self._g_s = jax.jit(lambda y: m.apply(p, y, method=m.synthesis))
+        ms = m
+        if synthesis_mxu_dtype is not None:
+            from nic.models.hyperprior import HyperpriorModel
+
+            ms = HyperpriorModel(m.n, m.m,
+                                 synthesis_mxu_dtype=synthesis_mxu_dtype)
+        self._g_s_body = lambda y: ms.apply(p, y, method=ms.synthesis)
+        self._g_s = jax.jit(self._g_s_body)
 
         # σ → scale-bin mapping fused into the jitted hyper-synthesis:
         # the host used to fetch σ (524 KB f32) and redo the log in f64
@@ -405,7 +419,6 @@ def bench_decode_stages(codec: HyperpriorCodec, blob: dict, px: int,
 
     t_glue = _med(_glue)
 
-    m, p = codec.t.model, codec.t.params
     zj = jnp.asarray(z_hat, np.float32)
     yj = jnp.asarray(y_hat, np.float32)
 
@@ -428,7 +441,8 @@ def bench_decode_stages(codec: HyperpriorCodec, blob: dict, px: int,
         return (tk - t1) / (kbig - ksmall)
 
     t_hs = _slope(codec._h_s_bins_body, zj)
-    t_gs = _slope(lambda y: m.apply(p, y, method=m.synthesis), yj)
+    # the codec's OWN synthesis body (honors synthesis_mxu_dtype)
+    t_gs = _slope(codec._g_s_body, yj)
     t_total = t_rans + t_hs + t_gs + t_glue
     return {
         "rans_ms": round(t_rans * 1e3, 3),
