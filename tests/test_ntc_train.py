@@ -331,3 +331,26 @@ def test_node_noise_matches_feature_when_frozen():
     np.testing.assert_allclose(loss_a, loss_b, rtol=0, atol=0)
     for a, b in zip(fp_a, fp_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gate_visibility_log_lines():
+    """Round-5 directive #7: the trainer logs which forward/backend the
+    auto gates resolved to — and, when a requested kernel is rejected,
+    the FIRST failed gate condition."""
+    lines = []
+    cfg = _tiny_cfg()
+    tr = NTCTrainer(cfg, [_toy_image(32)], log=lines.append)
+    tr.train_step()
+    tr.decode(0)
+    text = "\n".join(str(x) for x in lines)
+    assert "train forward gate (lod=0, frozen=False):" in text
+    assert "decode backend gate (mip=0):" in text
+    # a rejected kernel3 request names the failed condition (building
+    # the step emits the line; the fallback kernel is not executable on
+    # CPU outside interpret mode, so don't run it)
+    lines2 = []
+    cfg2 = _tiny_cfg(train_forward="kernel3", tf_use_tri_pe=False)
+    tr2 = NTCTrainer(cfg2, [_toy_image(32)], log=lines2.append)
+    tr2._step_fn(0, False)
+    text2 = "\n".join(str(x) for x in lines2)
+    assert "kernel3: needs 2D dense-G0 triangular-PE" in text2
