@@ -98,34 +98,55 @@ def bench_decode3d(backend: str, sparse_g0: bool = False, size: int = 64,
     return size**3 / t / 1e9
 
 
-def _sweep_confirms_tanherf() -> bool:
-    """tanherf enters the exact bucket only on sweep EVIDENCE: every
-    cell of results/r4_gelu_parity.json must have tanherf u8 deviation
-    ≤ the exact-erf mode's own (the same criterion that demoted poly)."""
+def _parity_rows() -> list:
+    """Rows of the newest committed u8-parity sweep. Prefers the round-5
+    sweep (which measures the SAME dtype=bf16/surgical modes bench
+    reports — the r4 sweep decoded dtype=None, an apples-to-oranges
+    labeling found in round 5), falling back to the r4 table."""
     import json
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results", "r4_gelu_parity.json")
-    try:
-        rows = json.load(open(path))["rows"]
-        return bool(rows) and all(
-            "pallas_tanherf_max_lsb" in r
-            and r["pallas_tanherf_max_lsb"] <= r["pallas_exact_max_lsb"]
-            for r in rows
-        )
-    except Exception:
-        return False
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("r5_gelu_parity.json", "r4_gelu_parity.json"):
+        path = os.path.join(here, "results", name)
+        try:
+            rows = json.load(open(path))["rows"]
+            if rows:
+                return rows
+        except Exception:
+            continue
+    return []
+
+
+def _sweep_confirms_tanherf() -> bool:
+    """tanherf enters the exact bucket only on sweep EVIDENCE: every
+    cell must have tanherf u8 deviation ≤ the exact-erf mode's own (the
+    same criterion that demoted poly)."""
+    rows = _parity_rows()
+    return bool(rows) and all(
+        "pallas_tanherf_max_lsb" in r
+        and r["pallas_tanherf_max_lsb"] <= r["pallas_exact_max_lsb"]
+        for r in rows if "error" not in r
+    )
 
 
 def _surgical_probe_lsb() -> dict:
-    """Measured u8 deviations of the surgical modes (fp32 planes + bf16
-    MXU dots) from results/r5_surgical_probe.json — a surgical mode
-    feeds value_exact only when its measured envelope ≤ the exact-erf
-    class cap (3 LSB, the r4 sweep's bf16-family floor)."""
+    """Measured u8 envelopes of the surgical modes (fp32 planes + bf16
+    MXU dots): worst cell of the r5 parity sweep when available, else
+    the 2048² probe (results/r5_surgical_probe.json). A surgical mode
+    feeds value_exact only when its envelope ≤ the exact-erf class cap
+    (3 LSB, the bf16-family floor)."""
     import json
     import os
 
+    out: dict = {}
+    for r in _parity_rows():
+        for g in ("exact", "tanherf", "tanh"):
+            k = f"pallas_surgical_{g}_max_lsb"
+            if k in r:
+                out[g] = max(out.get(g, 0), r[k])
+    if out:
+        return out
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "results", "r5_surgical_probe.json")
     try:
