@@ -49,21 +49,18 @@ def main() -> None:
     losses, _psnrs = tr.train_many(200, chunk=100)
     t_train = time.perf_counter() - t0
     # compile-inclusive wall (per-LOD kernel compiles dominate this
-    # smoke); steady-state rect train rates come from a warmed re-run
+    # smoke; steady-state rect rates are a bench concern, not a smoke's)
     out["train_200_wall_s_incl_compiles"] = round(t_train, 1)
-    t0 = time.perf_counter()
-    losses2, _ = tr.train_many(200, chunk=100)
-    out["train_steps_s_warm"] = round(200 / (time.perf_counter() - t0), 2)
     losses = np.asarray(losses)
     out["loss_first"] = float(np.mean(losses[:20]))
-    out["loss_last"] = float(np.mean(np.asarray(losses2)[-20:]))
+    out["loss_last"] = float(np.mean(losses[-20:]))
     out["forward_mode_last"] = tr._forward_mode
     rec0 = np.asarray(tr.decode(0))
     out["decode0_shape"] = list(rec0.shape)
     tgt = np.moveaxis(np.asarray(imgs[0]), 0, -1)
     # [0,1] floats → max_value=1.0 (the default 2^8 convention is for
     # 0..255 codes and inflates [0,1] inputs by ~48 dB)
-    out["psnr_mip0_400steps"] = round(
+    out["psnr_mip0_200steps"] = round(
         float(psnr(rec0, tgt, max_value=1.0)), 2)
     for m in (1, 2):
         out[f"decode{m}_shape"] = list(np.asarray(tr.decode(m)).shape)
