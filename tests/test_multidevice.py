@@ -189,6 +189,41 @@ def test_hyperprior_data_parallel_parity():
 
 
 @requires_8
+def test_sharded_fused_decode_rect_parity():
+    """Row-sharded RECTANGULAR fused decode (round 5): rows split per
+    device, per-axis column counts ride the kernel's rectangular tile
+    grid. Must match the per-axis folded XLA decode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nic.grids.fastdecode import fast_decode
+    from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+    from nic.kernels.decode_sharded import decode_image_fused_sharded
+    from nic.models.mlp import init_mlp
+    from nic.parallel.mesh import make_mesh
+
+    hw, c, pe = (64, 96), 4, 4
+    base = tuple(s // 4 for s in hw)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(hw[0], min(base), no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=hw[0], mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=True, ndim=2, n=hw)
+    )
+    mesh = make_mesh(4, data_axis=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_sharded(
+                fp, mlp, 0, mesh, image_size=hw, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=True,
+            )
+        )
+    assert got.shape == hw + (3,)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@requires_8
 def test_sharded_fused_decode_2d_parity():
     """Row-sharded fused decode (shard_map over the mesh) must be
     bit-near the XLA fast path — device k decodes rows [k·n/D, (k+1)·n/D)
