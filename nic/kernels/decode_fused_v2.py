@@ -424,25 +424,36 @@ def _prepare_2d(
 
     # ``dtype`` modes:
     #   None      — fp32 everything (planes, kernel windows, MXU dots)
-    #   a dtype   — plane STORAGE and the MXU dots in that dtype; since
-    #               round 5 the fold + column-stage math always runs
-    #               fp32 and rounds ONCE at the end (the kernel's
-    #               elementwise chain was already fp32, so bf16-mode
-    #               error is now a single storage rounding, not an
-    #               accumulated bf16 pipeline)
+    #   a dtype   — plane STORAGE and the MXU dots in that dtype. Since
+    #               round 5 the ARITHMETIC runs fp32: the fp32 folds
+    #               round ONCE to storage at NODE resolution, the
+    #               upsample/repeat/slice ops are pure data movement
+    #               (rounding commutes through them), and the column
+    #               interp computes fp32 on the storage-rounded nodes
+    #               inside one fusion — no fp32 pixel-resolution
+    #               intermediate ever hits HBM (the r5 probe measured
+    #               −23% throughput when those materialized fp32). Two
+    #               storage roundings total vs r4's bf16 arithmetic
+    #               chain.
     #   "surgical" — fp32 planes/windows/elementwise, bf16 ONLY at the
     #               MXU dots (W2/W3) — the decode analogue of the
     #               training side's MLP_NUM_DTYPE=16 split (round-5
-    #               directive #3: exact envelope at fast-mode speed)
+    #               directive #3: the accuracy-ceiling tier; fp32
+    #               storage pays ~2× plane DMA)
     surgical = isinstance(dtype, str) and dtype == "surgical"
     plane_dtype = None if surgical else dtype
 
     p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=2, channels=channels, pe_channels=pe_channels
     )
+    if plane_dtype is not None:
+        # the ONE storage rounding of the fp32 folds (node resolution)
+        p_plane = p_plane.astype(plane_dtype)
+        c1_plane = c1_plane.astype(plane_dtype)
 
-    # ---- column stage (XLA, cell-column resolution; fp32 math) ----
-    # P: nearest column upsample, rows cropped to the NR/f the kernel reads
+    # ---- column stage (XLA, cell-column resolution) ----
+    # P: nearest column upsample, rows cropped to the NR/f the kernel
+    # reads — pure movement, storage dtype
     pc = _axis_take_up(p_plane, e, ncl, 0, axis=1)[: nr // f]  # [NR/f, NC, H]
 
     # C1: column interp at t_v = v·2^(e-1) (weights always active at e ≤ 0).
@@ -450,33 +461,31 @@ def _prepare_2d(
     # the two samples are layout ops (repeat + slice), not gathers.
     tv = jnp.arange(ncl, dtype=jnp.float32) * (2.0 ** (e - 1))
     j1 = jnp.floor(tv).astype(jnp.int32)
-    fv = (tv - j1.astype(jnp.float32)).astype(c1_plane.dtype)[None, :, None]
+    fv = (tv - j1.astype(jnp.float32))[None, :, None]  # fp32 weights
     rows = nr // f1 + 1
     cols_nodes = ncl // f1 + 1
     c1r = jax.lax.slice_in_dim(c1_plane, 0, rows, axis=0)
     c1c = jax.lax.slice_in_dim(c1r, 0, cols_nodes, axis=1)
-    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, NC+f1, H]
+    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, NC+f1, H] storage dtype
     c1a = jax.lax.slice_in_dim(rep, 0, ncl, axis=1)
     c1b = jax.lax.slice_in_dim(rep, f1, ncl + f1, axis=1)
-    c1v = (1.0 - fv) * c1a + fv * c1b  # [NR/f1+1, NC, H]
 
     # separable PE tables folded through W1; the column term + bias + LOD
     # folds into C1 (row-interp weights sum to 1)
     tu = jnp.arange(nr, dtype=jnp.float32) * (2.0 ** (e - 1))
     pe_fn = triangular_pe if use_tri_pe else sinusoidal_pe
     table_u = pe_fn(tu[None, :], pe_channels).T  # [NR, PE]
-    pe_u = table_u @ pe_blocks[0]  # [NR, H]
+    pe_u = table_u @ pe_blocks[0]  # [NR, H] fp32
     table_v = (table_u if ncl == nr
                else pe_fn(tv[None, :], pe_channels).T)  # [NC, PE]
     a_col = table_v @ pe_blocks[1] + mlp["b1"] + float(mip_level) * w_lod
-    c1v = c1v + a_col[None, :, :]
-    if plane_dtype is not None:  # single storage rounding at the end
-        pc = pc.astype(plane_dtype)
-        c1v = c1v.astype(plane_dtype)
-        pe_u = pe_u.astype(plane_dtype)
-    else:
-        pe_u = pe_u.astype(pc.dtype)
-        c1v = c1v.astype(pc.dtype)
+    # interp + a_col fp32 INSIDE one fusion (storage-dtype operands
+    # upcast per element; only the storage-dtype result materializes)
+    c1v = ((1.0 - fv) * c1a.astype(jnp.float32)
+           + fv * c1b.astype(jnp.float32) + a_col[None, :, :])
+    out_plane = pc.dtype
+    c1v = c1v.astype(out_plane)
+    pe_u = pe_u.astype(out_plane)
 
     w2, b2 = mlp["w2"], mlp["b2"]
     w3, b3 = mlp["w3"], mlp["b3"]
