@@ -25,6 +25,7 @@ __all__ = ["MatmulConv", "MatmulConvTranspose"]
 
 
 import itertools
+import os
 
 
 def _im2col(x, k: int, stride: int, pad_lo: int, pad_hi: int):
@@ -199,15 +200,33 @@ def _conv_transpose_polyphase(x, w, k, s, p, op, features,
             sl.append(slice(None))
             parts.append(xp[tuple(sl)])
             rows.append(q)
-        patches = jnp.concatenate(parts, axis=-1)
-        w_rows = jnp.concatenate(
-            [w[q * c_in : (q + 1) * c_in] for q in rows], axis=0
-        )
-        if mxu_dtype is not None:
-            patches = patches.astype(mxu_dtype)
-            w_rows = w_rows.astype(mxu_dtype)
-        ph = jnp.dot(patches, w_rows,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+        if os.environ.get("NIC_CT_SUMDOT", "1") != "0":
+            # tap-sum form: one dot PER TAP, accumulated — the [.., taps·C]
+            # patch concat (taps× the activation volume, written then
+            # re-read by the big dot) never materializes. Same FLOPs,
+            # ~taps× less patch traffic; bitwise equal per-tap dots, sum
+            # order differs from the single fused dot only in fp32
+            # addition order (round-5; the hyperprior synthesis stage
+            # measured dot-bound on traffic, not MXU throughput).
+            ph = None
+            for part, q in zip(parts, rows):
+                w_blk = w[q * c_in : (q + 1) * c_in]
+                if mxu_dtype is not None:
+                    part = part.astype(mxu_dtype)
+                    w_blk = w_blk.astype(mxu_dtype)
+                t = jnp.dot(part, w_blk, preferred_element_type=jnp.float32)
+                ph = t if ph is None else ph + t
+            ph = ph.astype(x.dtype)
+        else:
+            patches = jnp.concatenate(parts, axis=-1)
+            w_rows = jnp.concatenate(
+                [w[q * c_in : (q + 1) * c_in] for q in rows], axis=0
+            )
+            if mxu_dtype is not None:
+                patches = patches.astype(mxu_dtype)
+                w_rows = w_rows.astype(mxu_dtype)
+            ph = jnp.dot(patches, w_rows,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
         # pad phase to the common per-phase grid for interleaving
         ppad = [(0, 0)] + [(0, u_cap[d] - o_r[d]) for d in range(ndim)] + [(0, 0)]
         phases.append(jnp.pad(ph, ppad))
