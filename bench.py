@@ -118,16 +118,38 @@ def _parity_rows() -> list:
     return []
 
 
-def _sweep_confirms_tanherf() -> bool:
-    """tanherf enters the exact bucket only on sweep EVIDENCE: every
-    cell must have tanherf u8 deviation ≤ the exact-erf mode's own (the
-    same criterion that demoted poly)."""
+def _sweep_confirms(mode: str) -> bool:
+    """``mode`` enters the exact bucket only on sweep EVIDENCE: every
+    cell must have the mode's u8 deviation ≤ the exact-erf mode's own in
+    that same cell (the criterion that demoted poly in round 4). Applies
+    to tanherf and — since the round-5 single-rounding column stage —
+    tanh as well, pending the r5 sweep."""
     rows = _parity_rows()
     return bool(rows) and all(
-        "pallas_tanherf_max_lsb" in r
-        and r["pallas_tanherf_max_lsb"] <= r["pallas_exact_max_lsb"]
+        f"pallas_{mode}_max_lsb" in r
+        and r[f"pallas_{mode}_max_lsb"] <= r["pallas_exact_max_lsb"]
         for r in rows if "error" not in r
     )
+
+
+def _mode_envelope(mode: str):
+    """Worst-cell measured u8 envelope of a pallas mode, or None."""
+    vals = [r[f"pallas_{mode}_max_lsb"] for r in _parity_rows()
+            if "error" not in r and f"pallas_{mode}_max_lsb" in r]
+    return max(vals) if vals else None
+
+
+def _headline_label(best_name: str, best_gelu) -> str:
+    """Human label for the winning decode mode + its sweep envelope."""
+    if best_gelu is None:
+        return best_name
+    env = _mode_envelope(best_gelu)
+    if env is None:
+        return best_name
+    which = "r5" if _parity_rows() and any(
+        "pallas_surgical_exact_max_lsb" in r for r in _parity_rows()) \
+        else "r4"
+    return f"{best_name} (≤{env} u8 LSB worst-cell, sweep {which})"
 
 
 def _surgical_probe_lsb() -> dict:
@@ -277,6 +299,8 @@ def main() -> None:
     }
     best_big = max(xla_big, fast_big)
     best_exact = best_big
+    best_name, best_gelu = ("xla fp32", None) if xla_big >= fast_big \
+        else ("fast bf16 folded-XLA", None)
     if on_tpu:
         # mode labels per the ROUND-4 19-cell u8-parity sweep
         # (results/r4_gelu_parity.json; FP_BITS {8,4,2} × methods {1,3,4}
@@ -303,10 +327,12 @@ def main() -> None:
             try:
                 g = bench_decode("pallas", BENCH_SIZE, **kw)
                 result[key] = round(g, 4)
-                best_big = max(best_big, g)
-                exact_modes = ("exact", "erfpoly")
-                if _sweep_confirms_tanherf():
-                    exact_modes += ("tanherf",)
+                if g > best_big:
+                    best_big = g
+                    best_gelu = kw.get("gelu", "exact")
+                    best_name = f"pallas bf16 {best_gelu}-gelu"
+                exact_modes = ("exact", "erfpoly") + tuple(
+                    m for m in ("tanherf", "tanh") if _sweep_confirms(m))
                 if kw.get("gelu", "exact") in exact_modes:
                     best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
@@ -325,7 +351,10 @@ def main() -> None:
                 g = bench_decode("pallas", BENCH_SIZE, dtype="surgical",
                                  gelu=sgelu)
                 result[key] = round(g, 4)
-                best_big = max(best_big, g)
+                if g > best_big:
+                    best_big = g
+                    best_gelu = f"surgical_{sgelu}"
+                    best_name = f"pallas surgical {sgelu}-gelu"
                 if probe_lsb.get(sgelu, 99) <= 3:
                     best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
@@ -429,11 +458,13 @@ def main() -> None:
         # baseline = the unfused XLA graph (the shape of the reference's
         # own decode); the reference publishes no numbers (BASELINE.md)
         "vs_baseline": round(best_big / xla_big, 3),
-        # the headline mode is tanh-GELU (lossy: ≤7 u8 LSB across the
-        # round-4 19-cell sweep); value_exact is the strongest mode in
-        # the exact-erf accuracy class (exact/erfpoly — poly excluded
-        # since round 4, it exceeds that envelope by 1–3 LSB)
-        "value_mode": "tanh-gelu fast mode (≤7 u8 LSB, sweep r4)",
+        # the headline mode's measured worst-cell u8 envelope comes from
+        # the newest committed parity sweep (r5 preferred — it measures
+        # the shipped dtype=bf16/surgical modes); value_exact is the
+        # strongest mode in the exact-erf accuracy class (evidence-gated
+        # per mode: a mode joins only when every sweep cell shows its
+        # deviation ≤ exact-erf's own — the criterion that demoted poly)
+        "value_mode": _headline_label(best_name, best_gelu),
         "value_exact": round(best_exact, 4),
         "train_steps_s_parity_fp32": round(train_steps_s, 2),
         "timing": "honest fori_loop slope (round-2 methodology fix)",
