@@ -438,11 +438,16 @@ def bench_decode_stages(codec: HyperpriorCodec, blob: dict, px: int,
                 ts.append(time.perf_counter() - t0)
             return float(np.min(ts))
         t1, tk = make(ksmall), make(kbig)
-        return (tk - t1) / (kbig - ksmall)
+        # floor at 0: a sub-0.1 ms body can measure a (noise) negative
+        # slope through the tunnel, which would INFLATE colocated_mpix_s
+        # (round-5 fix: r5_hp_bf16_synth.json recorded -0.13 ms here)
+        return max((tk - t1) / (kbig - ksmall), 0.0)
 
-    t_hs = _slope(codec._h_s_bins_body, zj)
+    # kbig=96: the hyper-synthesis body is ~0.05 ms, so the chain must be
+    # long enough that body time dominates per-call jitter
+    t_hs = _slope(codec._h_s_bins_body, zj, kbig=96)
     # the codec's OWN synthesis body (honors synthesis_mxu_dtype)
-    t_gs = _slope(codec._g_s_body, yj)
+    t_gs = _slope(codec._g_s_body, yj, kbig=96)
     t_total = t_rans + t_hs + t_gs + t_glue
     return {
         "rans_ms": round(t_rans * 1e3, 3),
