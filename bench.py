@@ -118,18 +118,25 @@ def _parity_rows() -> list:
     return []
 
 
+# value_exact membership is an ABSOLUTE worst-cell cap, not "≤ exact-erf's
+# own cell" (the r4 criterion): the round-5 sweep measures the SHIPPED
+# dtype=bf16 modes on trained models and finds the whole bf16-plane family
+# at ONE shared envelope (7 u8 LSB at fp8 — bf16 STORAGE rounding of the
+# plane pipeline dominates; the single-rounding column stage made the GELU
+# choice irrelevant inside the family). Under the relative criterion tanh
+# would "join the exact class" by matching a 7-LSB exact-erf — meaningless.
+# The cap is the r4-era exact-class envelope the label has always promised.
+EXACT_CLASS_CAP_LSB = 3
+
+
 def _sweep_confirms(mode: str) -> bool:
-    """``mode`` enters the exact bucket only on sweep EVIDENCE: every
-    cell must have the mode's u8 deviation ≤ the exact-erf mode's own in
-    that same cell (the criterion that demoted poly in round 4). Applies
-    to tanherf and — since the round-5 single-rounding column stage —
-    tanh as well, pending the r5 sweep."""
-    rows = _parity_rows()
-    return bool(rows) and all(
-        f"pallas_{mode}_max_lsb" in r
-        and r[f"pallas_{mode}_max_lsb"] <= r["pallas_exact_max_lsb"]
-        for r in rows if "error" not in r
-    )
+    """``mode`` enters the exact bucket only on sweep EVIDENCE: a
+    measured worst-cell u8 envelope ≤ EXACT_CLASS_CAP_LSB. (The r4 table
+    measured dtype=None for the 2D/3D cells, so with the r4 fallback this
+    reflects the fp32-plane envelope — the r5 sweep supersedes it with
+    the shipped-mode measurement.)"""
+    env = _mode_envelope(mode)
+    return env is not None and env <= EXACT_CLASS_CAP_LSB
 
 
 def _mode_envelope(mode: str):
@@ -331,34 +338,41 @@ def main() -> None:
                     best_big = g
                     best_gelu = kw.get("gelu", "exact")
                     best_name = f"pallas bf16 {best_gelu}-gelu"
-                exact_modes = ("exact", "erfpoly") + tuple(
-                    m for m in ("tanherf", "tanh") if _sweep_confirms(m))
-                if kw.get("gelu", "exact") in exact_modes:
+                # erfpoly is float-rounding-identical to exact-erf
+                # (|Δerf| ≤ 1.6e-7), so it shares exact's envelope row
+                gate = {"erfpoly": "exact"}.get(
+                    kw.get("gelu", "exact"), kw.get("gelu", "exact"))
+                if _sweep_confirms(gate):
                     best_exact = max(best_exact, g)
             except Exception as e:  # pragma: no cover
                 result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]
-        # surgical modes (round 5): fp32 planes/windows/elementwise with
-        # bf16 ONLY at the MXU dots — the decode analogue of the training
-        # side's MLP_NUM_DTYPE=16 split. Joins value_exact per the
-        # measured per-mode u8 envelope (results/r5_surgical_probe.json).
+        # split-storage modes (round 5): bf16 only at the MXU dots, with
+        # the plane pipeline in a tighter storage format — "surgical"
+        # (fp32 planes: the accuracy ceiling, ~2× plane DMA) and "i16"
+        # (int16 fixed-point planes + shared analytic scale: bf16's
+        # 2-byte DMA with an absolute quantization step ~40× below
+        # bf16's relative error at plane max). Each joins value_exact
+        # per its measured worst-cell u8 envelope (r5 sweep; probe
+        # fallback for surgical).
         probe_lsb = _surgical_probe_lsb()
-        for key, sgelu in (
-            ("pallas_surgical_exact_2048_gpix_s", "exact"),
-            ("pallas_surgical_tanherf_2048_gpix_s", "tanherf"),
-            ("pallas_surgical_tanh_2048_gpix_s", "tanh"),
-        ):
-            try:
-                g = bench_decode("pallas", BENCH_SIZE, dtype="surgical",
-                                 gelu=sgelu)
-                result[key] = round(g, 4)
-                if g > best_big:
-                    best_big = g
-                    best_gelu = f"surgical_{sgelu}"
-                    best_name = f"pallas surgical {sgelu}-gelu"
-                if probe_lsb.get(sgelu, 99) <= 3:
-                    best_exact = max(best_exact, g)
-            except Exception as e:  # pragma: no cover
-                result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]
+        for sdtype in ("surgical", "i16"):
+            for sgelu in ("exact", "tanherf", "tanh"):
+                key = f"pallas_{sdtype}_{sgelu}_2048_gpix_s"
+                try:
+                    g = bench_decode("pallas", BENCH_SIZE, dtype=sdtype,
+                                     gelu=sgelu)
+                    result[key] = round(g, 4)
+                    if g > best_big:
+                        best_big = g
+                        best_gelu = f"{sdtype}_{sgelu}"
+                        best_name = f"pallas {sdtype} {sgelu}-gelu"
+                    env = _mode_envelope(f"{sdtype}_{sgelu}")
+                    if env is None and sdtype == "surgical":
+                        env = probe_lsb.get(sgelu)
+                    if env is not None and env <= EXACT_CLASS_CAP_LSB:
+                        best_exact = max(best_exact, g)
+                except Exception as e:  # pragma: no cover
+                    result[key + "_note"] = f"{type(e).__name__}: {e}"[:160]
         try:
             result["pallas_tanh_512_gpix_s"] = round(
                 bench_decode("pallas", IMAGE_SIZE, dtype=jnp.bfloat16,
@@ -372,6 +386,8 @@ def main() -> None:
                 bench_decode_rect(dtype=jnp.bfloat16, gelu="tanh"), 4)
             result["pallas_rect_kodak_exact_gpix_s"] = round(
                 bench_decode_rect(dtype=jnp.bfloat16, gelu="exact"), 4)
+            result["pallas_rect_kodak_i16_tanh_gpix_s"] = round(
+                bench_decode_rect(dtype="i16", gelu="tanh"), 4)
         except Exception as e:  # pragma: no cover
             result["rect_note"] = f"{type(e).__name__}: {e}"[:160]
         # 3D/spatiotemporal full-volume decode (misty 64³ protocol):
@@ -386,6 +402,11 @@ def main() -> None:
                 result[key] = round(g, 4)
                 result[key.replace("_gpix_s", "_vs_fast")] = round(
                     g / fast3d, 2)
+            # i16 planes on the 3D kernel (round 5): exact-class storage
+            # at bf16's 2-byte DMA — the movie family's fast-exact mode
+            result["pallas_3d_m3_i16_tanh_gpix_s"] = round(
+                bench_decode3d("pallas", sparse_g0=False, dtype="i16",
+                               gelu="tanh"), 4)
         except Exception as e:  # pragma: no cover
             result["bench3d_note"] = f"{type(e).__name__}: {e}"[:160]
 

@@ -34,12 +34,14 @@ def run(argv=None):
                         "'tanherf' (erf routed through the cheap hardware "
                         "tanh, |Δgelu| ≤ 1.4e-6) and 'erfpoly' "
                         "(|Δgelu| < 1e-6) are the exact-class modes")
-    p.add_argument("--dtype", choices=["fp32", "bf16", "surgical"],
+    p.add_argument("--dtype", choices=["fp32", "bf16", "i16", "surgical"],
                    default="fp32",
                    help="pallas plane pipeline: fp32 (default, exact), "
-                        "bf16 (single storage rounding, fastest), or "
-                        "surgical (fp32 planes, bf16 MXU dots — the "
-                        "exact-envelope fast mode; 2D only)")
+                        "bf16 (single storage rounding, fastest), i16 "
+                        "(int16 fixed-point planes + bf16 MXU dots — "
+                        "surgical-class accuracy at bf16 speed; 2D and "
+                        "3D), or surgical (fp32 planes, bf16 MXU dots; "
+                        "2D only)")
     p.add_argument("--image_size", type=int, default=None,
                    help="override the stored image size")
     p.add_argument("--devices", type=int, default=1,
@@ -91,7 +93,7 @@ def run(argv=None):
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "fast"
-    pdtype = {"fp32": None, "bf16": jnp.bfloat16,
+    pdtype = {"fp32": None, "bf16": jnp.bfloat16, "i16": "i16",
               "surgical": "surgical"}[args.dtype]
     if ndim != 2 and args.dtype == "surgical":
         pdtype = None  # surgical is a 2D-kernel mode; 3D stays fp32
@@ -116,7 +118,7 @@ def run(argv=None):
                     fp, mlp, mip, mesh, image_size=image_size,
                     mip_to_level=mip_to_level, pe_channels=pe_channels,
                     use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
-                    gelu=args.gelu,
+                    gelu=args.gelu, dtype=pdtype,
                 )
             )
         else:
@@ -136,7 +138,7 @@ def run(argv=None):
                     fp, mlp, mip, image_size=image_size,
                     mip_to_level=mip_to_level, pe_channels=pe_channels,
                     use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
-                    gelu=args.gelu,
+                    gelu=args.gelu, dtype=pdtype,
                 )
             )
         else:

@@ -52,19 +52,24 @@ def _axis_interp(plane, e: int, n: int, axis: int):
     """Linear interp of ``plane`` at t = arange(n)·2^(e-1) along ``axis``
     (the G1 sampling pattern at origin 0, weights always active at e ≤ 0).
     Pure repeat + slice + one lerp — no gather (decode_fused_v2's column
-    stage, factored out for reuse on the frame axis)."""
+    stage, factored out for reuse on the frame axis).
+
+    Computes fp32 regardless of storage dtype (round 5: the single-
+    rounding scheme the 2D column stage adopted — the caller rounds the
+    final C1 once; volumes are small enough that fp32 intermediates are
+    free) and returns fp32."""
     f1 = 1 << (1 - e)
     tv = jnp.arange(n, dtype=jnp.float32) * (2.0 ** (e - 1))
     j1 = jnp.floor(tv).astype(jnp.int32)
     shape = [1] * plane.ndim
     shape[axis] = n
-    fv = (tv - j1.astype(jnp.float32)).astype(plane.dtype).reshape(shape)
+    fv = (tv - j1.astype(jnp.float32)).reshape(shape)
     rows = n // f1 + 1
     src = jax.lax.slice_in_dim(plane, 0, rows, axis=axis)
     rep = jnp.repeat(src, f1, axis=axis)  # [.., n + f1, ..]
     a = jax.lax.slice_in_dim(rep, 0, n, axis=axis)
     b = jax.lax.slice_in_dim(rep, f1, n + f1, axis=axis)
-    return (1.0 - fv) * a + fv * b
+    return (1.0 - fv) * a.astype(jnp.float32) + fv * b.astype(jnp.float32)
 
 
 @functools.partial(
@@ -72,9 +77,9 @@ def _axis_interp(plane, e: int, n: int, axis: int):
     static_argnames=("n", "n_t", "R", "C", "f", "f1", "out_dtype", "gelu",
                      "packed"),
 )
-def _call3(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, n_t: int, R: int,
-           C: int, f: int, f1: int, out_dtype, gelu: str = "exact",
-           packed: bool = False):
+def _call3(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale=None, *, n: int,
+           n_t: int, R: int, C: int, f: int, f1: int, out_dtype,
+           gelu: str = "exact", packed: bool = False):
     """pc: [T, n/f, n, H] per-frame column-upsampled P planes;
     c1v: [T, n/f1+1, n, H] per-frame column+frame-interpolated C1 planes
     (per-frame constants already folded in); pe_u: [n, H] row-PE."""
@@ -104,9 +109,10 @@ def _call3(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, n_t: int, R: int,
     out_ch = w3.shape[1]
     useful_h = hidden // 2 if packed else hidden
 
+    scaled = plane_scale is not None
     kernel = functools.partial(
         _kernel, R=R, f=f, f1=f1, acc_dtype=jnp.float32, gelu=_GELUS[gelu],
-        out_ch=out_ch,
+        out_ch=out_ch, scaled=scaled,
     )
     # params tiled per grid step so their windows advance (v2 module doc)
     tile8 = lambda a: jnp.tile(a.reshape(1, -1), (steps * 8, 1))
@@ -160,6 +166,9 @@ def _call3(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, n_t: int, R: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda t, i, j: (flat(t, i, j), 0),
                          memory_space=pltpu.VMEM),
+            # i16: shared plane scale, tiled per step (advancing window)
+            *([pl.BlockSpec((8, 1), lambda t, i, j: (flat(t, i, j), 0),
+                            memory_space=pltpu.VMEM)] if scaled else []),
         ],
         out_specs=pl.BlockSpec((out_ch, R * C),
                                lambda t, i, j: (0, flat(t, i, j)),
@@ -172,7 +181,9 @@ def _call3(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, n_t: int, R: int,
             transcendentals=0 if gelu == "poly" else
             2 * n_t * n * n * useful_h,
         ),
-    )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
+    )(pc_t, c1_t, c1_t, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t,
+      *([jnp.tile(plane_scale.reshape(1, 1), (steps * 8, 1))]
+        if scaled else []))
     # untile: (OC, tile-major pixels) → [T, n, n, 3]; the block sequence
     # follows flat = (t·ncol + j)·nrow + i, i.e. (t, j, i) order
     if packed:
@@ -210,26 +221,20 @@ def _prepare_3d(
     if e > 0 or n % R or n < R or n % C or R % f1 or R % f:
         return None
 
+    # dtype modes mirror the 2D kernel (decode_fused_v2._prepare_2d):
+    # None = fp32; a dtype = storage rounding at node + one full-res
+    # rounding (arithmetic fp32 since round 5); "i16" = int16 fixed-point
+    # storage with one shared analytic scale + bf16 MXU dots.
+    i16 = isinstance(dtype, str) and dtype == "i16"
+    storage = None if i16 else dtype
+
     p_vol, c1_vol, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=3, channels=channels, pe_channels=pe_channels,
         sparse_g0=sparse_g0,
     )
-    if dtype is not None:
-        p_vol = p_vol.astype(dtype)
-        c1_vol = c1_vol.astype(dtype)
-
-    # ---- frame + column stage (XLA) ----
-    # P: nearest upsample along frames (axis 0) and columns (axis 2);
-    # rows (axis 1) stay at cell resolution for the in-kernel repeat
-    pr = jax.lax.slice_in_dim(p_vol, 0, n // f, axis=1)
-    pt = _axis_take_up(pr, e, n, 0, axis=0)      # [n, n/f, cells, H]
-    pc = _axis_take_up(pt, e, n, 0, axis=2)      # [n, n/f, n, H]
-
-    # C1: linear interp along frames (axis 0) and columns (axis 2); rows
-    # (axis 1) stay at node resolution (+1 halo row) for the kernel
-    c1r = jax.lax.slice_in_dim(c1_vol, 0, n // f1 + 1, axis=1)
-    c1t = _axis_interp(c1r, e, n, axis=0)        # [n, n/f1+1, S1, H]
-    c1v = _axis_interp(c1t, e, n, axis=2)        # [n, n/f1+1, n, H]
+    if storage is not None:
+        p_vol = p_vol.astype(storage)
+        c1_vol = c1_vol.astype(storage)
 
     # separable PE tables through W1: rows ride as the kernel's peu
     # operand; frame + column terms + bias + LOD fold into C1 (row-interp
@@ -238,16 +243,58 @@ def _prepare_3d(
     pe_fn = triangular_pe if use_tri_pe else sinusoidal_pe
     table = pe_fn(t1[None, :], pe_channels).T    # [n, PE]
     a_frame = table @ pe_blocks[0]               # [n, H]
-    pe_u = (table @ pe_blocks[1]).astype(pc.dtype)
+    pe_u = table @ pe_blocks[1]                  # [n, H] fp32
     a_col = table @ pe_blocks[2] + mlp["b1"] + float(mip_level) * w_lod
-    c1v = (c1v + a_frame[:, None, None, :] + a_col[None, None, :, :]).astype(
-        pc.dtype
-    )
+
+    plane_scale = None
+    if i16:
+        # shared P/C1 scale from ANALYTIC bounds (2D kernel docstring:
+        # grid features |g| ≤ ½ ⇒ |P| ≤ ½·maxΣ|W1_g0|, |C1| ≤
+        # ½·maxΣ|W1_g1| + |a_frame| + |a_col|); tiny-matrix reductions
+        w1 = mlp["w1"]
+        n_corners = 4 if sparse_g0 else 8
+        g0_rows = n_corners * channels
+        s = jnp.maximum(
+            0.5 * jnp.abs(w1[:g0_rows]).sum(0).max(),
+            0.5 * jnp.abs(w1[g0_rows:g0_rows + channels]).sum(0).max()
+            + jnp.abs(a_frame).max() + jnp.abs(a_col).max(),
+        ).astype(jnp.float32)
+        inv = 32767.0 / s
+        qnode = lambda a: jnp.clip(
+            jnp.round(a * inv), -32767.0, 32767.0).astype(jnp.int16)
+        p_vol = qnode(p_vol)
+        c1_vol = qnode(c1_vol)
+        a_frame = a_frame * inv  # join C1 in i16 units
+        a_col = a_col * inv
+        plane_scale = s / jnp.float32(32767.0)
+
+    # ---- frame + column stage (XLA) ----
+    # P: nearest upsample along frames (axis 0) and columns (axis 2);
+    # rows (axis 1) stay at cell resolution for the in-kernel repeat —
+    # pure movement, storage dtype
+    pr = jax.lax.slice_in_dim(p_vol, 0, n // f, axis=1)
+    pt = _axis_take_up(pr, e, n, 0, axis=0)      # [n, n/f, cells, H]
+    pc = _axis_take_up(pt, e, n, 0, axis=2)      # [n, n/f, n, H]
+
+    # C1: linear interp along frames (axis 0) and columns (axis 2); rows
+    # (axis 1) stay at node resolution (+1 halo row) for the kernel.
+    # fp32 arithmetic end-to-end, ONE storage rounding at the end.
+    c1r = jax.lax.slice_in_dim(c1_vol, 0, n // f1 + 1, axis=1)
+    c1t = _axis_interp(c1r, e, n, axis=0)        # [n, n/f1+1, S1, H] fp32
+    c1v = _axis_interp(c1t, e, n, axis=2)        # [n, n/f1+1, n, H] fp32
+    c1v = c1v + a_frame[:, None, None, :] + a_col[None, None, :, :]
+    if i16:
+        c1v = jnp.clip(jnp.round(c1v), -32767.0, 32767.0).astype(jnp.int16)
+        # pe_u stays fp32 (added after the in-kernel scale FMA)
+    else:
+        c1v = c1v.astype(pc.dtype)
+        pe_u = pe_u.astype(pc.dtype)
 
     w2, b2 = mlp["w2"], mlp["b2"]
     w3, b3 = mlp["w3"], mlp["b3"]
-    if dtype is not None:
-        w2, w3 = w2.astype(dtype), w3.astype(dtype)
+    if dtype is not None:  # i16: bf16 dots under i16 planes
+        mxu_dtype = jnp.bfloat16 if i16 else dtype
+        w2, w3 = w2.astype(mxu_dtype), w3.astype(mxu_dtype)
 
     hidden = w2.shape[0]
     packed = (
@@ -257,7 +304,7 @@ def _prepare_3d(
         and n % 2 == 0
     )
     geom = dict(n=n, R=R, C=C, f=f, f1=f1, packed=packed)
-    return pc, c1v, pe_u, w2, b2, w3, b3, geom
+    return pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom
 
 
 def decode_volume_fused(
@@ -286,7 +333,7 @@ def decode_volume_fused(
             g1_quirk=g1_quirk,
         )
         return out.astype(out_dtype)
-    pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom = prep
     n = geom.pop("n")
-    return _call3(pc, c1v, pe_u, w2, b2, w3, b3, n=n, n_t=n,
+    return _call3(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, n=n, n_t=n,
                   out_dtype=out_dtype, gelu=gelu, **geom)

@@ -146,19 +146,33 @@ _GELUS = {"exact": _gelu_exact, "tanh": _gelu_tanh, "quick": _gelu_quick,
 
 
 def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
-            b3_ref, out_ref, *, R: int, f: int, f1: int, acc_dtype, gelu,
-            out_ch: int = 3):
+            b3_ref, *rest, R: int, f: int, f1: int, acc_dtype, gelu,
+            out_ch: int = 3, scaled: bool = False):
+    # rest = (s_ref, out_ref) in i16 mode (scaled=True), else (out_ref,)
+    out_ref = rest[-1]
     cols = pc_ref.shape[1]
     m = R // f1
+
+    # convert (and, in i16 mode, scale) ONCE at NODE resolution — the
+    # upsample/interp below then slice fp32 data. Converting after the
+    # row-expansion costs f× (P) / ~2× (C1) more int→float converts,
+    # which is what separated i16 (1.08 GPix/s) from bf16 (1.66) in the
+    # first chip probe.
+    pcf = pc_ref[:, :, :].astype(acc_dtype)
+    c1f = c1_ref[:, :, :].astype(acc_dtype)
+    c1hf = c1h_ref[0:1, :, :].astype(acc_dtype)
+    if scaled:  # i16 fixed-point planes: scale folds at node resolution
+        s = rest[0][0, 0]
+        pcf, c1f, c1hf = pcf * s, c1f * s, c1hf * s
 
     # G0 term: nearest row-upsample (outermost-axis repeat) of the
     # column-upsampled P window [R/f, C, H] → [R, C, H]
     if f == 1:
-        g0 = pc_ref[:, :, :].astype(acc_dtype)
+        g0 = pcf
     else:
         g0 = jnp.concatenate(
-            [pc_ref[r // f : r // f + 1, :, :] for r in range(R)], axis=0
-        ).astype(acc_dtype)
+            [pcf[r // f : r // f + 1, :, :] for r in range(R)], axis=0
+        )
 
     # G1 term: static per-row linear interp over the column-interpolated
     # C1 window; row r uses C1 rows r//f1 and r//f1+1 (the last +1 is the
@@ -166,10 +180,9 @@ def _kernel(pc_ref, c1_ref, c1h_ref, peu_ref, w2_ref, b2_ref, w3t_ref,
     parts = []
     for r in range(R):
         ia, fu = r // f1, (r % f1) / f1
-        ca = c1_ref[ia : ia + 1, :, :] if ia < m else c1h_ref[0:1, :, :]
-        cb = c1_ref[ia + 1 : ia + 2, :, :] if ia + 1 < m else c1h_ref[0:1, :, :]
-        parts.append((1.0 - fu) * ca.astype(acc_dtype)
-                     + fu * cb.astype(acc_dtype))
+        ca = c1f[ia : ia + 1, :, :] if ia < m else c1hf
+        cb = c1f[ia + 1 : ia + 2, :, :] if ia + 1 < m else c1hf
+        parts.append((1.0 - fu) * ca + fu * cb)
     acc = g0 + jnp.concatenate(parts, axis=0)
     _mlp_tail(acc, peu_ref, w2_ref, b2_ref, w3t_ref, b3_ref, out_ref,
               R=R, cols=cols, acc_dtype=acc_dtype, gelu=gelu, out_ch=out_ch)
@@ -238,8 +251,8 @@ def _mlp_tail(acc, peu_ref, w2_ref, b2_ref, w3t_ref, b3_ref, out_ref, *,
     static_argnames=("n", "R", "C", "f", "f1", "out_dtype", "gelu", "packed",
                      "nc", "z1mm"),
 )
-def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
-          f: int, f1: int, out_dtype, gelu: str = "exact",
+def _call(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale=None, *, n: int,
+          R: int, C: int, f: int, f1: int, out_dtype, gelu: str = "exact",
           packed: bool = False, nc: int | None = None, z1mm: bool = False):
     # n = output rows; nc = output columns (defaults to n — square image).
     # The rectangular form is what the row-sharded multi-device decode
@@ -275,12 +288,16 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
     out_ch = w3.shape[1]
     useful_h = hidden // 2 if packed else hidden
 
+    scaled = plane_scale is not None
+    if z1mm and scaled:
+        z1mm = False  # i16 planes would put int16 on the z1mm MXU dots
     # z1mm is gated to the packed layout by "auto" (hidden = 128 post-pack
     # → lane-exact [rows,C,H]→[rows,C·H] collapses); an explicit True is
     # honored at any width (correct, possibly relayout-slow)
     kernel = functools.partial(
         _kernel_z1mm if z1mm else _kernel, R=R, f=f, f1=f1,
         acc_dtype=jnp.float32, gelu=_GELUS[gelu], out_ch=out_ch,
+        **({} if z1mm else {"scaled": scaled}),
     )
     # params tiled per grid step so their windows advance (see module doc)
     tile8 = lambda a: jnp.tile(a.reshape(1, -1), (steps * 8, 1))
@@ -363,6 +380,12 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 1), lambda i, j: (i * ncol + j, 0),
                          memory_space=pltpu.VMEM),
+            # i16 mode: the shared plane scale, tiled per step so its
+            # window advances like every other operand (module docstring);
+            # (8,1) VMEM blocks — the same shape rule as b3 (SMEM refuses
+            # sub-(8,·) blocks)
+            *([pl.BlockSpec((8, 1), lambda i, j: (i * ncol + j, 0),
+                            memory_space=pltpu.VMEM)] if scaled else []),
         ],
         out_specs=pl.BlockSpec((out_ch, R * C), lambda i, j: (0, i * ncol + j),
                                memory_space=pltpu.VMEM),
@@ -375,7 +398,9 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, *, n: int, R: int, C: int,
             + n * nc * 3 * 4,
             transcendentals=0 if gelu == "poly" else 2 * n * nc * useful_h,
         ),
-    )(pc_t, *c1_ops, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t)
+    )(pc_t, *c1_ops, peu_t, jnp.tile(w2, (steps, 1)), tile8(b2), w3t8, b3t,
+      *([jnp.tile(plane_scale.reshape(1, 1), (steps * 8, 1))]
+        if scaled else []))
     # untile: (OC, tile-major pixels) → [N, NC, 3] (one XLA transpose)
     if packed:
         # axis 0: [r,g,b] of even pixel, then [r,g,b] of odd pixel
@@ -440,8 +465,27 @@ def _prepare_2d(
     #               training side's MLP_NUM_DTYPE=16 split (round-5
     #               directive #3: the accuracy-ceiling tier; fp32
     #               storage pays ~2× plane DMA)
+    #   "i16"     — int16 FIXED-POINT plane storage + bf16 MXU dots.
+    #               The r5 sweep showed the decode is plane-DMA-bound
+    #               (surgical's fp32 planes cost ~2×; arithmetic is fp32
+    #               in every mode) and that the bf16-family envelope IS
+    #               the storage rounding (2⁻⁸ RELATIVE → large error at
+    #               plane-max magnitude → 7 u8 LSB at fp8 on trained
+    #               models). Fixed point converts that to an ABSOLUTE
+    #               step, max|plane|/32767 — ~100× tighter at the
+    #               magnitudes that set the envelope — at the SAME 2-byte
+    #               DMA as bf16. P and C1 share one dynamic scale (bound
+    #               computed at node resolution: upsample/interp are
+    #               convex, so no full-res reduction pass), folded into a
+    #               single in-kernel FMA; the remaining error is the
+    #               bf16 dot-input rounding, i.e. surgical-class
+    #               accuracy at bf16-mode speed. (fp16 storage would be
+    #               the floating alternative but Mosaic rejects f16:
+    #               "Unsupported type in mosaic dialect" — measured
+    #               round-5 negative.)
     surgical = isinstance(dtype, str) and dtype == "surgical"
-    plane_dtype = None if surgical else dtype
+    i16 = isinstance(dtype, str) and dtype == "i16"
+    plane_dtype = None if (surgical or i16) else dtype
 
     p_plane, c1_plane, pe_blocks, w_lod, b1 = precompute_first_layer(
         fp, fl, mlp, ndim=2, channels=channels, pe_channels=pe_channels
@@ -452,23 +496,15 @@ def _prepare_2d(
         c1_plane = c1_plane.astype(plane_dtype)
 
     # ---- column stage (XLA, cell-column resolution) ----
-    # P: nearest column upsample, rows cropped to the NR/f the kernel
-    # reads — pure movement, storage dtype
-    pc = _axis_take_up(p_plane, e, ncl, 0, axis=1)[: nr // f]  # [NR/f, NC, H]
-
-    # C1: column interp at t_v = v·2^(e-1) (weights always active at e ≤ 0).
-    # j1 = v // f1 and j1+1 are pure repeat+shift patterns at origin 0, so
-    # the two samples are layout ops (repeat + slice), not gathers.
+    # column sample positions t_v = v·2^(e-1) (weights always active at
+    # e ≤ 0). j1 = v // f1 and j1+1 are pure repeat+shift patterns at
+    # origin 0, so the two samples are layout ops (repeat+slice), not
+    # gathers.
     tv = jnp.arange(ncl, dtype=jnp.float32) * (2.0 ** (e - 1))
     j1 = jnp.floor(tv).astype(jnp.int32)
     fv = (tv - j1.astype(jnp.float32))[None, :, None]  # fp32 weights
     rows = nr // f1 + 1
     cols_nodes = ncl // f1 + 1
-    c1r = jax.lax.slice_in_dim(c1_plane, 0, rows, axis=0)
-    c1c = jax.lax.slice_in_dim(c1r, 0, cols_nodes, axis=1)
-    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, NC+f1, H] storage dtype
-    c1a = jax.lax.slice_in_dim(rep, 0, ncl, axis=1)
-    c1b = jax.lax.slice_in_dim(rep, f1, ncl + f1, axis=1)
 
     # separable PE tables folded through W1; the column term + bias + LOD
     # folds into C1 (row-interp weights sum to 1)
@@ -479,18 +515,63 @@ def _prepare_2d(
     table_v = (table_u if ncl == nr
                else pe_fn(tv[None, :], pe_channels).T)  # [NC, PE]
     a_col = table_v @ pe_blocks[1] + mlp["b1"] + float(mip_level) * w_lod
+
+    plane_scale = None
+    if i16:
+        # shared P/C1 scale from ANALYTIC bounds: grid features live in
+        # the quantizer range (|g| ≤ 1/2, pyramid init/clamp/quantize all
+        # preserve it), so |P| ≤ ½·max_h Σ|W1_g0[:,h]| and |C1| ≤
+        # ½·max_h Σ|W1_g1[:,h]| — 73×64-sized reductions instead of
+        # full-plane ones; upsample/interp are convex so never exceed
+        # node extremes, |a_col| is additive on C1. A few × loose vs the
+        # true max (≲2 of 15 bits), still ~40× below bf16's relative
+        # error at plane max; out-of-range custom grids just saturate
+        # the clip below. Storage rounding happens at NODE resolution,
+        # mirroring the bf16 scheme (quantizing full-res planes instead
+        # materializes an fp32 pixel-resolution intermediate in HBM —
+        # the −23% trap the r5 probe measured for bf16).
+        w1 = mlp["w1"]
+        g0_rows = 4 * channels  # dense 2D: 4 corners
+        s = jnp.maximum(
+            0.5 * jnp.abs(w1[:g0_rows]).sum(0).max(),
+            0.5 * jnp.abs(w1[g0_rows:g0_rows + channels]).sum(0).max()
+            + jnp.abs(a_col).max(),
+        ).astype(jnp.float32)
+        inv = 32767.0 / s
+        qnode = lambda a: jnp.clip(
+            jnp.round(a * inv), -32767.0, 32767.0).astype(jnp.int16)
+        p_plane = qnode(p_plane)
+        c1_plane = qnode(c1_plane)
+        a_col = a_col * inv  # a_col joins C1 in i16 units
+        plane_scale = s / jnp.float32(32767.0)
+
+    # P: nearest column upsample, rows cropped to the NR/f the kernel
+    # reads — pure movement, storage dtype
+    pc = _axis_take_up(p_plane, e, ncl, 0, axis=1)[: nr // f]  # [NR/f, NC, H]
+
+    c1r = jax.lax.slice_in_dim(c1_plane, 0, rows, axis=0)
+    c1c = jax.lax.slice_in_dim(c1r, 0, cols_nodes, axis=1)
+    rep = jnp.repeat(c1c, f1, axis=1)  # [rows, NC+f1, H] storage dtype
+    c1a = jax.lax.slice_in_dim(rep, 0, ncl, axis=1)
+    c1b = jax.lax.slice_in_dim(rep, f1, ncl + f1, axis=1)
     # interp + a_col fp32 INSIDE one fusion (storage-dtype operands
     # upcast per element; only the storage-dtype result materializes)
     c1v = ((1.0 - fv) * c1a.astype(jnp.float32)
            + fv * c1b.astype(jnp.float32) + a_col[None, :, :])
-    out_plane = pc.dtype
-    c1v = c1v.astype(out_plane)
-    pe_u = pe_u.astype(out_plane)
+    if i16:
+        # the ONE full-resolution rounding of C1 (i16 units; ≤ 0.5 step)
+        c1v = jnp.clip(jnp.round(c1v), -32767.0, 32767.0).astype(jnp.int16)
+        # pe_u stays fp32 (tiny [NR, H] table; the kernel adds it after
+        # the scale FMA)
+    else:
+        out_plane = pc.dtype
+        c1v = c1v.astype(out_plane)
+        pe_u = pe_u.astype(out_plane)
 
     w2, b2 = mlp["w2"], mlp["b2"]
     w3, b3 = mlp["w3"], mlp["b3"]
-    if dtype is not None:  # surgical: bf16 dots under fp32 planes
-        mxu_dtype = jnp.bfloat16 if surgical else dtype
+    if dtype is not None:  # surgical/i16: bf16 dots under fp32/i16 planes
+        mxu_dtype = jnp.bfloat16 if (surgical or i16) else dtype
         w2, w3 = w2.astype(mxu_dtype), w3.astype(mxu_dtype)
 
     hidden = w2.shape[0]
@@ -501,7 +582,7 @@ def _prepare_2d(
         and ncl % 2 == 0
     )
     geom = dict(n=nr, nc=ncl, R=R, C=C, f=f, f1=f1, packed=packed)
-    return pc, c1v, pe_u, w2, b2, w3, b3, geom
+    return pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom
 
 
 def decode_image_fused_v2(
@@ -537,7 +618,7 @@ def decode_image_fused_v2(
                else tuple(s // (2**mip_level) for s in hw)),
         )
         return out.astype(out_dtype)
-    pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom = prep
     z1mm = geom["packed"] if z1_matmul == "auto" else bool(z1_matmul)
-    return _call(pc, c1v, pe_u, w2, b2, w3, b3, out_dtype=out_dtype,
-                 gelu=gelu, z1mm=z1mm, **geom)
+    return _call(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale,
+                 out_dtype=out_dtype, gelu=gelu, z1mm=z1mm, **geom)

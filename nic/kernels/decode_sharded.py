@@ -81,7 +81,7 @@ def decode_image_fused_sharded(
     )
     if prep is None:
         return single()
-    pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom = prep
     n, R, C, f, f1 = geom["n"], geom["R"], geom["C"], geom["f"], geom["f1"]
     nc = geom.get("nc", n)  # output columns (rectangular geometry)
     if n % D or (n // D) % R or (n // D) % f1 or (n // D) % f:
@@ -107,9 +107,12 @@ def decode_image_fused_sharded(
     axes = tuple(mesh.axis_names)
     blk = P(axes)  # leading dim over ALL mesh axes
 
-    def local(pc_l, c1_l, pe_l, w2_, b2_, w3_, b3_):
+    scale_ops = () if plane_scale is None else (plane_scale,)
+
+    def local(pc_l, c1_l, pe_l, w2_, b2_, w3_, b3_, *s_):
         out = _call(
             pc_l[0], c1_l[0], pe_l[0], w2_, b2_, w3_, b3_,
+            *s_,  # i16 plane scale, replicated
             n=nr, nc=nc, out_dtype=out_dtype, gelu=gelu,
             R=geom["R"], C=geom["C"], f=geom["f"], f1=geom["f1"],
             packed=geom["packed"],
@@ -118,9 +121,10 @@ def decode_image_fused_sharded(
 
     out = shard_map_nocheck(
         local, mesh,
-        in_specs=(blk, blk, blk, P(), P(), P(), P()),
+        in_specs=(blk, blk, blk, P(), P(), P(), P())
+        + ((P(),) if scale_ops else ()),
         out_specs=blk,
-    )(pcs, c1s, peus, w2, b2, w3, b3)
+    )(pcs, c1s, peus, w2, b2, w3, b3, *scale_ops)
     return out.reshape(n, nc, 3)
 
 
@@ -157,7 +161,7 @@ def decode_volume_fused_sharded(
     )
     if prep is None:
         return single()
-    pc, c1v, pe_u, w2, b2, w3, b3, geom = prep
+    pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom = prep
     n = geom["n"]
     if n % D:
         return single()
@@ -168,10 +172,12 @@ def decode_volume_fused_sharded(
 
     axes = tuple(mesh.axis_names)
     blk = P(axes)
+    scale_ops = () if plane_scale is None else (plane_scale,)
 
-    def local(pc_l, c1_l, pe_l, w2_, b2_, w3_, b3_):
+    def local(pc_l, c1_l, pe_l, w2_, b2_, w3_, b3_, *s_):
         out = _call3(
             pc_l[0], c1_l[0], pe_l, w2_, b2_, w3_, b3_,
+            *s_,  # i16 plane scale, replicated
             n=n, n_t=nt, out_dtype=out_dtype, gelu=gelu,
             R=geom["R"], C=geom["C"], f=geom["f"], f1=geom["f1"],
             packed=geom["packed"],
@@ -180,7 +186,8 @@ def decode_volume_fused_sharded(
 
     out = shard_map_nocheck(
         local, mesh,
-        in_specs=(blk, blk, P(), P(), P(), P(), P()),
+        in_specs=(blk, blk, P(), P(), P(), P(), P())
+        + ((P(),) if scale_ops else ()),
         out_specs=blk,
-    )(pcs, c1s, pe_u, w2, b2, w3, b3)
+    )(pcs, c1s, pe_u, w2, b2, w3, b3, *scale_ops)
     return out.reshape(n, n, n, 3)

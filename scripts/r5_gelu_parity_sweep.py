@@ -97,6 +97,17 @@ def decode_modes(trainer, mip: int):
     if ndim == 2:
         for gelu in ("exact", "tanherf", "tanh"):
             out[f"pallas_surgical_{gelu}"] = u8(fused("surgical", gelu))
+    # i16: int16 fixed-point plane storage + bf16 MXU dots (2-byte
+    # DMA like bf16, absolute-step quantization — the
+    # surgical-class-at-bf16-speed candidate; fp16 is rejected by
+    # Mosaic, measured r5 negative). 2D AND 3D. Guarded per mode:
+    # i16 support is being established by this very sweep.
+    for gelu in ("exact", "tanh", "tanherf"):
+        try:
+            out[f"pallas_i16_{gelu}"] = u8(fused("i16", gelu))
+        except Exception as e:  # pragma: no cover
+            print(f"i16/{gelu} failed: {type(e).__name__}: "
+                  f"{e}"[:200], flush=True)
     out["pallas_fp32_exact"] = u8(fused(None, "exact"))
     return out
 

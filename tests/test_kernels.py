@@ -284,6 +284,40 @@ def test_fused_v2_surgical_mode(gelu):
     assert np.abs(u8(got) - u8(want)).max() <= 1
 
 
+@pytest.mark.parametrize("gelu", ["exact", "tanh"])
+def test_fused_v2_i16_mode(gelu):
+    """dtype="i16" (round 5): int16 fixed-point plane STORAGE with one
+    shared dynamic scale (absolute step max|plane|/32767 — ~100× below
+    bf16's relative error at plane-max magnitude, which set the bf16
+    family's 7-LSB envelope) + bf16 MXU dots, at the same 2-byte plane
+    DMA as bf16. Mosaic rejects fp16 ("Unsupported type in mosaic
+    dialect: 'f16'" — measured r5 negative), so fixed point is the
+    2-byte accuracy tier. Must be surgical-class: within one u8 step of
+    the fp32 folded decode."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_v2 import decode_image_fused_v2
+
+    image_size, base, c, pe, hidden = 128, 32, 12, 6, 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(23))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=2, no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, hidden, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, ndim=2)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_image_fused_v2(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, dtype="i16", gelu=gelu,
+            )
+        )
+    u8 = lambda a: np.clip(a * 255 + 0.5, 0, 255).astype(np.int32)
+    assert np.abs(got - want).max() < 3e-3  # i16 storage + bf16-dot
+    assert np.abs(u8(got) - u8(want)).max() <= 1
+
+
 @pytest.mark.parametrize("hw", [(64, 96), (96, 64)])
 @pytest.mark.parametrize("mip", [0, 1, 2])
 def test_fused_v2_rectangular_matches_fastdecode(hw, mip):
@@ -401,6 +435,40 @@ def test_fused_3d_matches_fastdecode(mip, sparse_g0):
         )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("sparse_g0", [False, True])
+def test_fused_3d_i16_mode(sparse_g0):
+    """dtype="i16" on the 3D kernel (round 5): int16 fixed-point planes
+    with a shared analytic scale + bf16 MXU dots — the movie family's
+    exact-class fast mode. Must sit within one u8 step of the fp32
+    folded decode."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_3d import decode_volume_fused
+
+    image_size, base, c, pe = 32, 8, 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(29))
+    fp, _ = create_pyramid(k1, base, channels=c, num_bits=8, ndim=3)
+    m2l = pyramid_mip_levels(image_size, base)
+    n_corners = 4 if sparse_g0 else 8
+    use_tri_pe = not sparse_g0
+    mlp = init_mlp(k2, c * (n_corners + 1) + pe * 3 + 1, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=use_tri_pe, ndim=3,
+                    sparse_g0=sparse_g0)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            decode_volume_fused(
+                fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=use_tri_pe, sparse_g0=sparse_g0,
+                dtype="i16", gelu="exact",
+            )
+        )
+    u8 = lambda a: np.clip(a * 255 + 0.5, 0, 255).astype(np.int32)
+    assert np.abs(got - want).max() < 3e-3
+    assert np.abs(u8(got) - u8(want)).max() <= 1
 
 
 def test_fused_3d_lane_packed_multiblock():
