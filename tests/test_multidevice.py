@@ -289,3 +289,40 @@ def test_sharded_fused_decode_3d_parity(sparse_g0):
         )
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@requires_8
+@pytest.mark.parametrize("ndim", [2, 3])
+def test_sharded_fused_decode_i16_parity(ndim):
+    """The i16 plane mode must survive the shard_map split: the scale is
+    a replicated operand, planes shard by rows (2D) / frames (3D).
+    Within one u8 step of the fp32 fast path on every device's slice."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nic.grids.fastdecode import fast_decode
+    from nic.grids.pyramid import create_pyramid, pyramid_mip_levels
+    from nic.kernels.decode_sharded import (decode_image_fused_sharded,
+                                            decode_volume_fused_sharded)
+    from nic.models.mlp import init_mlp
+
+    image_size, base, c, pe = (64, 16, 4, 4) if ndim == 2 else (16, 4, 4, 4)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(31))
+    fp, _ = create_pyramid(k1, base, c, 8, ndim=ndim)
+    m2l = pyramid_mip_levels(image_size, base)
+    n_in = c * (2**ndim + 1) + pe * ndim + 1
+    mlp = init_mlp(k2, n_in, 16, 3)
+    want = np.asarray(
+        fast_decode(fp, mlp, 0, image_size=image_size, mip_to_level=m2l,
+                    pe_channels=pe, use_tri_pe=(ndim == 2), ndim=ndim)
+    )
+    mesh = make_mesh(4, data_axis=4)
+    entry = (decode_image_fused_sharded if ndim == 2
+             else decode_volume_fused_sharded)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            entry(fp, mlp, 0, mesh, image_size=image_size, mip_to_level=m2l,
+                  pe_channels=pe, use_tri_pe=(ndim == 2), dtype="i16")
+        )
+    u8 = lambda a: np.clip(a * 255 + 0.5, 0, 255).astype(np.int32)
+    assert got.shape == want.shape
+    assert np.abs(u8(got) - u8(want)).max() <= 1
