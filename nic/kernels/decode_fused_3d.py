@@ -226,6 +226,8 @@ def _prepare_3d(
     # rounding (arithmetic fp32 since round 5); "i16" = int16 fixed-point
     # storage with one shared analytic scale + bf16 MXU dots.
     i16 = isinstance(dtype, str) and dtype == "i16"
+    if isinstance(dtype, str) and not i16:
+        dtype = None  # "surgical" is a 2D-kernel mode: 3D runs fp32
     storage = None if i16 else dtype
 
     p_vol, c1_vol, pe_blocks, w_lod, b1 = precompute_first_layer(
