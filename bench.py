@@ -548,6 +548,18 @@ def main() -> None:
                 stages = bench_decode_stages(codec, blob, px, iters=7)
                 out["hyperprior_decode_mpix_s_colocated"] = (
                     stages["colocated_mpix_s"])
+        elif on_tpu:
+            # checkpoint wiped by a machine restart (the r4 failure mode)
+            # but the committed chip artifact survives: emit it CLEARLY
+            # LABELED as recorded, never silently omit the codec story
+            import json as _json
+
+            rec = _json.load(open("results/r5_hyperprior_decode.json"))
+            out["hyperprior_decode_mpix_s_colocated_recorded"] = (
+                rec["colocated_mpix_s"])
+            out["hyperprior_decode_note"] = (
+                "checkpoint wiped by restart; value from committed "
+                "results/r5_hyperprior_decode.json (chip-measured r5)")
     except Exception as e:  # pragma: no cover
         out["hyperprior_decode_note"] = f"{type(e).__name__}: {e}"[:160]
     out.update(result)
