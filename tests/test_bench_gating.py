@@ -35,6 +35,12 @@ def fake_rows(monkeypatch):
          "pallas_fp32_exact_max_lsb": 2},
         # an errored cell must be ignored, not poison the gate
         {"cell": "m3_fp8", "error": "SomeError: boom"},
+        # a 3D cell (separate ff3/v3 kernel path): gates the 3D fields
+        # only — must NOT poison the 2D headline's envelope
+        {"cell": "m4_fp8", "mip": 0,
+         "pallas_exact_max_lsb": 6, "pallas_tanh_max_lsb": 6,
+         "pallas_i16_tanh_max_lsb": 5,
+         "pallas_fp32_exact_max_lsb": 2},
     ]
     monkeypatch.setattr(bench, "_parity_rows", lambda: rows)
     return rows
@@ -45,6 +51,18 @@ def test_mode_envelope_is_worst_cell(fake_rows):
     assert bench._mode_envelope("surgical_tanh") == 3
     assert bench._mode_envelope("i16_tanh") == 2
     assert bench._mode_envelope("nonexistent") is None
+
+
+def test_mode_envelope_is_per_geometry(fake_rows):
+    # 2D headline fields are gated by 2D cells; 3D fields by m3/m4
+    # cells — the two kernels' envelopes must not pool (i16 is ≤3 on
+    # the 2D kernel but 5 on the 3D one here)
+    assert bench._mode_envelope("i16_tanh", ndim=2) == 2
+    assert bench._mode_envelope("i16_tanh", ndim=3) == 5
+    assert bench._sweep_confirms("i16_tanh", ndim=2)
+    assert not bench._sweep_confirms("i16_tanh", ndim=3)
+    # a mode measured only on 2D cells has no 3D envelope
+    assert bench._mode_envelope("surgical_tanh", ndim=3) is None
 
 
 def test_exact_class_is_absolute_cap(fake_rows):
