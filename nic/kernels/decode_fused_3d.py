@@ -249,46 +249,51 @@ def _prepare_3d(
     a_col = table @ pe_blocks[2] + mlp["b1"] + float(mip_level) * w_lod
 
     plane_scale = None
-    if i16:
-        # shared P/C1 scale from ANALYTIC bounds (2D kernel docstring:
-        # grid features |g| ≤ ½ ⇒ |P| ≤ ½·maxΣ|W1_g0|, |C1| ≤
-        # ½·maxΣ|W1_g1| + |a_frame| + |a_col|); tiny-matrix reductions
-        w1 = mlp["w1"]
-        n_corners = 4 if sparse_g0 else 8
-        g0_rows = n_corners * channels
-        s = jnp.maximum(
-            0.5 * jnp.abs(w1[:g0_rows]).sum(0).max(),
-            0.5 * jnp.abs(w1[g0_rows:g0_rows + channels]).sum(0).max()
-            + jnp.abs(a_frame).max() + jnp.abs(a_col).max(),
-        ).astype(jnp.float32)
-        inv = 32767.0 / s
-        qnode = lambda a: jnp.clip(
-            jnp.round(a * inv), -32767.0, 32767.0).astype(jnp.int16)
-        p_vol = qnode(p_vol)
-        c1_vol = qnode(c1_vol)
-        a_frame = a_frame * inv  # join C1 in i16 units
-        a_col = a_col * inv
-        plane_scale = s / jnp.float32(32767.0)
-
     # ---- frame + column stage (XLA) ----
-    # P: nearest upsample along frames (axis 0) and columns (axis 2);
-    # rows (axis 1) stay at cell resolution for the in-kernel repeat —
-    # pure movement, storage dtype
-    pr = jax.lax.slice_in_dim(p_vol, 0, n // f, axis=1)
-    pt = _axis_take_up(pr, e, n, 0, axis=0)      # [n, n/f, cells, H]
-    pc = _axis_take_up(pt, e, n, 0, axis=2)      # [n, n/f, n, H]
-
-    # C1: linear interp along frames (axis 0) and columns (axis 2); rows
-    # (axis 1) stay at node resolution (+1 halo row) for the kernel.
-    # fp32 arithmetic end-to-end, ONE storage rounding at the end.
+    # C1 first, in REAL units: linear interp along frames (axis 0) and
+    # columns (axis 2); rows (axis 1) stay at node resolution (+1 halo
+    # row) for the kernel. Interp arithmetic is fp32 in every mode
+    # (storage-dtype operands upcast per element), so in i16 mode the
+    # fully-formed fp32 C1 takes its scale from its own TRUE max and
+    # rounds ONCE at full resolution.
     c1r = jax.lax.slice_in_dim(c1_vol, 0, n // f1 + 1, axis=1)
     c1t = _axis_interp(c1r, e, n, axis=0)        # [n, n/f1+1, S1, H] fp32
     c1v = _axis_interp(c1t, e, n, axis=2)        # [n, n/f1+1, n, H] fp32
     c1v = c1v + a_frame[:, None, None, :] + a_col[None, None, :, :]
     if i16:
-        c1v = jnp.clip(jnp.round(c1v), -32767.0, 32767.0).astype(jnp.int16)
+        # shared P/C1 scale from TRUE maxes (round-5 3D tightening: the
+        # analytic ½·maxΣ|W1| + |a_frame| + |a_col| bound's triangle-
+        # inequality slack over the deeper 3D stack measured 4–5 u8 LSB
+        # worst-cell in the r5 sweep vs ≤3 on the 2D kernel). C1's max
+        # is exact — the fp32 full-res volume exists in every mode
+        # before rounding; P's node max bounds the in-kernel window
+        # because corner-interp weights are convex. The extra reduction
+        # rides the misty-protocol volume (~10 MB), not a 2048² plane —
+        # the 2D kernel keeps the analytic scale for exactly that
+        # bandwidth reason (r5 probe: plane-max pass cost 1.47→1.31).
+        s = jnp.maximum(
+            jnp.maximum(jnp.abs(p_vol).max(), jnp.abs(c1v).max()),
+            jnp.float32(1e-12),
+        ).astype(jnp.float32)
+        inv = 32767.0 / s
+        # the ONE P rounding (node resolution; window interp is convex)
+        p_vol = jnp.clip(
+            jnp.round(p_vol * inv), -32767.0, 32767.0).astype(jnp.int16)
+        # the ONE C1 rounding (full resolution, real-unit max ⇒ no clip
+        # saturation possible)
+        c1v = jnp.clip(
+            jnp.round(c1v * inv), -32767.0, 32767.0).astype(jnp.int16)
+        plane_scale = s / jnp.float32(32767.0)
         # pe_u stays fp32 (added after the in-kernel scale FMA)
-    else:
+
+    # P: nearest upsample along frames (axis 0) and columns (axis 2);
+    # rows (axis 1) stay at cell resolution for the in-kernel repeat —
+    # pure movement, storage dtype (int16 after the i16 rounding above)
+    pr = jax.lax.slice_in_dim(p_vol, 0, n // f, axis=1)
+    pt = _axis_take_up(pr, e, n, 0, axis=0)      # [n, n/f, cells, H]
+    pc = _axis_take_up(pt, e, n, 0, axis=2)      # [n, n/f, n, H]
+
+    if not i16:
         c1v = c1v.astype(pc.dtype)
         pe_u = pe_u.astype(pc.dtype)
 
