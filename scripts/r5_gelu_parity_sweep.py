@@ -33,7 +33,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = "results/r5_gelu_parity.json"
+OUT = os.environ.get("SWEEP_OUT", "results/r5_gelu_parity.json")
 
 
 def lsb_budget(mlp, eps: float) -> float:
