@@ -224,7 +224,7 @@ def _prepare_3d(
     # dtype modes mirror the 2D kernel (decode_fused_v2._prepare_2d):
     # None = fp32; a dtype = storage rounding at node + one full-res
     # rounding (arithmetic fp32 since round 5); "i16" = int16 fixed-point
-    # storage with one shared analytic scale + bf16 MXU dots.
+    # storage with one shared true-max scale + bf16 MXU dots.
     i16 = isinstance(dtype, str) and dtype == "i16"
     if isinstance(dtype, str) and not i16:
         dtype = None  # "surgical" is a 2D-kernel mode: 3D runs fp32
@@ -269,7 +269,7 @@ def _prepare_3d(
         # before rounding; P's node max bounds the in-kernel window
         # because corner-interp weights are convex. The extra reduction
         # rides the misty-protocol volume (~10 MB), not a 2048² plane —
-        # the 2D kernel keeps the analytic scale for exactly that
+        # the 2D kernel takes node-resolution true maxes for exactly that
         # bandwidth reason (r5 probe: plane-max pass cost 1.47→1.31).
         s = jnp.maximum(
             jnp.maximum(jnp.abs(p_vol).max(), jnp.abs(c1v).max()),
