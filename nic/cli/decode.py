@@ -106,6 +106,15 @@ def run(argv=None):
     if backend == "pallas" and ndim == 2 and sparse_g0:
         # sparse G0 is 3D-only in the reference; no 2D kernel covers it
         backend = "fast"
+    # never drop a requested plane dtype silently (a user benchmarking
+    # "--dtype i16" off-TPU or on an xla-routed artifact would otherwise
+    # measure the fp32 pipeline and not know it)
+    if args.dtype != "fp32" and backend != "pallas":
+        print(f"note: --dtype {args.dtype} applies to the pallas backend "
+              f"only; resolved backend '{backend}' decodes fp32", flush=True)
+    elif ndim != 2 and args.dtype == "surgical":
+        print("note: --dtype surgical is a 2D-kernel mode; this 3D decode "
+              "runs fp32 planes", flush=True)
     if backend == "pallas" and args.devices > 1:
         from nic.kernels.decode_sharded import (decode_image_fused_sharded,
                                                 decode_volume_fused_sharded)

@@ -290,10 +290,13 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale=None, *, n: int,
 
     scaled = plane_scale is not None
     if z1mm and scaled:
-        z1mm = False  # i16 planes would put int16 on the z1mm MXU dots
+        # defense for direct _call users; the public entry raises on an
+        # explicit z1_matmul=True + i16 instead of downgrading silently
+        z1mm = False
     # z1mm is gated to the packed layout by "auto" (hidden = 128 post-pack
     # → lane-exact [rows,C,H]→[rows,C·H] collapses); an explicit True is
-    # honored at any width (correct, possibly relayout-slow)
+    # honored at any width (correct, possibly relayout-slow) except under
+    # i16 planes, where the public entry rejects it
     kernel = functools.partial(
         _kernel_z1mm if z1mm else _kernel, R=R, f=f, f1=f1,
         acc_dtype=jnp.float32, gelu=_GELUS[gelu], out_ch=out_ch,
@@ -622,5 +625,15 @@ def decode_image_fused_v2(
         return out.astype(out_dtype)
     pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom = prep
     z1mm = geom["packed"] if z1_matmul == "auto" else bool(z1_matmul)
+    if z1mm and plane_scale is not None:
+        if z1_matmul is not True:
+            z1mm = False  # auto: i16 planes take the VPU kernel
+        else:
+            # an explicit True must not silently measure the other
+            # kernel (int16 operands can't ride the z1mm MXU dots)
+            raise ValueError(
+                "z1_matmul=True is incompatible with dtype='i16' planes "
+                "(int16 cannot feed the z1 MXU dots); use z1_matmul="
+                "'auto' or a float plane dtype")
     return _call(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale,
                  out_dtype=out_dtype, gelu=gelu, z1mm=z1mm, **geom)

@@ -115,6 +115,21 @@ class HyperAnalysis(nn.Module):
 
 
 class HyperSynthesis(nn.Module):
+    """σ scales from the quantized hyper-latent.
+
+    ENTROPY-CODING DETERMINISM BOUNDARY: σ selects the rANS coding bin
+    for every y symbol (``HyperpriorCodec._h_s_bins``), so compress and
+    decompress must compute the numerically IDENTICAL σ — across
+    processes, env settings, and code versions — or the y-stream
+    desyncs at any value sitting on a bin edge. The transposed convs
+    therefore PIN ``sumdot=True`` (the canonical accumulation order;
+    also the shipped default and the order behind the committed round-5
+    stream artifacts) instead of following the ``NIC_CT_SUMDOT`` A/B
+    toggle, which stays available for the reconstruction-only
+    ``Synthesis`` stage where numerics never touch the bitstream —
+    the same rule that keeps ``mxu_dtype`` out of this path.
+    """
+
     n: int = 128
     m: int = 192
 
@@ -122,9 +137,9 @@ class HyperSynthesis(nn.Module):
     def __call__(self, z):  # [B, h/4, w/4, N] → σ [B, h, w, M]
         from nic.models.matmul_conv import MatmulConv, MatmulConvTranspose
 
-        s = MatmulConvTranspose(self.n, 4, 2, 1, 0)(z)
+        s = MatmulConvTranspose(self.n, 4, 2, 1, 0, sumdot=True)(z)
         s = nn.gelu(s)
-        s = MatmulConvTranspose(self.n, 4, 2, 1, 0)(s)
+        s = MatmulConvTranspose(self.n, 4, 2, 1, 0, sumdot=True)(s)
         s = nn.gelu(s)
         s = MatmulConv(self.m, 3, 1, 1)(s)
         return jnp.exp(s)  # positive scales

@@ -153,7 +153,7 @@ def _conv_transpose_zero_insertion(x, w, k, s, p, op, features):
 
 
 def _conv_transpose_polyphase(x, w, k, s, p, op, features,
-                              mxu_dtype=None):
+                              mxu_dtype=None, sumdot=None):
     """torch ConvTranspose(k, s, p, output_padding=op) via the exact
     polyphase (subpixel) decomposition: each of the s^n output phases is a
     stride-1 conv AT INPUT RESOLUTION over the ≤⌈k/s⌉^n kernel taps that
@@ -200,7 +200,9 @@ def _conv_transpose_polyphase(x, w, k, s, p, op, features,
             sl.append(slice(None))
             parts.append(xp[tuple(sl)])
             rows.append(q)
-        if os.environ.get("NIC_CT_SUMDOT", "1") != "0":
+        use_sumdot = (sumdot if sumdot is not None
+                      else os.environ.get("NIC_CT_SUMDOT", "1") != "0")
+        if use_sumdot:
             # tap-sum form: one dot PER TAP, accumulated — the [.., taps·C]
             # patch concat (taps× the activation volume, written then
             # re-read by the big dot) never materializes. Same FLOPs,
@@ -208,6 +210,10 @@ def _conv_transpose_polyphase(x, w, k, s, p, op, features,
             # order differs from the single fused dot only in fp32
             # addition order (round-5; the hyperprior synthesis stage
             # measured dot-bound on traffic, not MXU throughput).
+            # ``sumdot`` pins the path explicitly: numerics forks must not
+            # sit under entropy-coding determinism boundaries (the
+            # hyperprior σ→bin map pins sumdot=True; the env var remains
+            # an A/B toggle for reconstruction-only stages).
             ph = None
             for part, q in zip(parts, rows):
                 w_blk = w[q * c_in : (q + 1) * c_in]
@@ -258,6 +264,11 @@ class MatmulConvTranspose(nn.Module):
     output_padding: int = 1
     dtype: type = jnp.float32
     mxu_dtype: type | None = None  # see MatmulConv.mxu_dtype
+    # None = follow NIC_CT_SUMDOT (default on); True/False pin the
+    # polyphase accumulation order regardless of the env toggle. Pin it
+    # wherever the output feeds an entropy-coding decision (bin
+    # selection) — stream compatibility must not depend on an env var.
+    sumdot: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -271,5 +282,6 @@ class MatmulConvTranspose(nn.Module):
         out = _conv_transpose_polyphase(
             x.astype(self.dtype), w, self.kernel, self.stride, self.padding,
             self.output_padding, self.features, mxu_dtype=self.mxu_dtype,
+            sumdot=self.sumdot,
         )
         return out + b

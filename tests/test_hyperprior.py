@@ -167,3 +167,26 @@ def test_checkpoint_backcompat_across_opt_chain(tmp_path):
     staged = new.stage_images(imgs)
     loss, bpp, mse = new.train_chunk(staged, 3)
     assert np.isfinite(loss).all()
+
+
+def test_hyper_synthesis_ignores_sumdot_toggle(monkeypatch):
+    """ENTROPY-CODING DETERMINISM: sigma selects the rANS bin for every
+    y symbol, so HyperSynthesis must compute the numerically identical
+    sigma regardless of the NIC_CT_SUMDOT A/B toggle (a blob compressed
+    under one setting must decompress under the other — the fp32
+    accumulation-order fork is pinned to sumdot=True inside the model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nic.models.hyperprior import HyperSynthesis
+
+    m = HyperSynthesis(n=16, m=24)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 16), jnp.float32)
+    params = m.init(jax.random.PRNGKey(1), z)
+
+    # eager (no jit): the env var is consulted at every trace/apply
+    monkeypatch.setenv("NIC_CT_SUMDOT", "1")
+    s_on = np.asarray(m.apply(params, z))
+    monkeypatch.setenv("NIC_CT_SUMDOT", "0")
+    s_off = np.asarray(m.apply(params, z))
+    np.testing.assert_array_equal(s_on, s_off)
