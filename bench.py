@@ -421,11 +421,11 @@ def main() -> None:
                 result[key.replace("_gpix_s", "_vs_fast")] = round(
                     g / fast3d, 2)
             # i16 planes on the 3D kernel (round 5): int16 fixed-point
-            # storage at bf16's 2-byte DMA. Gated by the 3D sweep cells
-            # ONLY (the 3D path's shared analytic scale is looser than
-            # the 2D one's — r5 sweep measures 4–5 LSB worst-cell, so
-            # the 3D i16 mode is reported with its own envelope, not
-            # blanket-labeled exact-class like the 2D one).
+            # storage at bf16's 2-byte DMA, true-max shared scale (same
+            # scheme as 2D). Gated by the 3D sweep cells ONLY and
+            # reported with its own measured envelope field below —
+            # membership/number come from the committed sweep table,
+            # never from this comment.
             result["pallas_3d_m3_i16_tanh_gpix_s"] = round(
                 bench_decode3d("pallas", sparse_g0=False, dtype="i16",
                                gelu="tanh"), 4)
@@ -553,7 +553,8 @@ def main() -> None:
             tr.load_checkpoint(newest[0])
             codec = HyperpriorCodec(tr)
             img = np.asarray(
-                Image.open("data/sancho_512.png").convert("RGB"),
+                Image.open(os.path.join(
+                    here, "data", "sancho_512.png")).convert("RGB"),
                 np.float32) / 255.0
             blob = codec.compress(img)
             codec.decompress(blob)  # warm

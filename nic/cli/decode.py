@@ -115,6 +115,26 @@ def run(argv=None):
     elif ndim != 2 and args.dtype == "surgical":
         print("note: --dtype surgical is a 2D-kernel mode; this 3D decode "
               "runs fp32 planes", flush=True)
+    if backend == "pallas":
+        # the kernel entries fall back to folded XLA (fp32, no plane
+        # dtype) on thumbnail-mip/odd geometries — say so up front
+        # instead of printing backend=pallas over an fp32 decode
+        if ndim == 2:
+            from nic.kernels.decode_fused_v2 import kernel_covers_2d
+
+            covered = kernel_covers_2d(mip, isz_2d, mip_to_level,
+                                       mlp["w2"].shape[0])
+        else:
+            from nic.kernels.decode_fused_3d import kernel_covers_3d
+
+            covered = kernel_covers_3d(mip, image_size, mip_to_level,
+                                       mlp["w2"].shape[0])
+        if not covered:
+            note = (f" (--dtype {args.dtype} does not apply there)"
+                    if args.dtype != "fp32" else "")
+            print(f"note: mip {mip} geometry is outside the fused "
+                  f"kernel's gate — decoding via the folded-XLA fp32 "
+                  f"fallback{note}", flush=True)
     if backend == "pallas" and args.devices > 1:
         from nic.kernels.decode_sharded import (decode_image_fused_sharded,
                                                 decode_volume_fused_sharded)

@@ -199,6 +199,24 @@ def _call3(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale=None, *, n: int,
     )
 
 
+def kernel_covers_3d(mip_level: int, image_size: int, mip_to_level: dict,
+                     hidden: int, block_rows=None, block_cols=None) -> bool:
+    """Pure-geometry predicate: will ``decode_volume_fused`` run the 3D
+    Pallas kernel for this (mip, size) or fall back to folded XLA?
+    Mirrors ``_prepare_3d``'s gate without doing any compute (see
+    ``decode_fused_v2.kernel_covers_2d``)."""
+    fl = mip_to_level[mip_level]
+    e = mip_level - (fl + 1) * 2
+    n = image_size // (2**mip_level)
+    if e > 0:
+        return False  # thumbnail mips (negative shift in f1 below)
+    f = 1 << (-e) if e < 0 else 1
+    f1 = 1 << (1 - e)
+    R = block_rows or max(f1, f, min(n, 32))
+    C = block_cols or min(n, 2048 if 2 * hidden == 128 else 1024)
+    return not (n % R or n < R or n % C or R % f1 or R % f)
+
+
 def _prepare_3d(
     fp, mlp, mip_level: int, *, image_size: int, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool, sparse_g0: bool, dtype,
@@ -213,12 +231,15 @@ def _prepare_3d(
     n = image_size // (2**mip_level)
     channels = fp[fl * 2].shape[0]
 
+    if e > 0:
+        return None  # thumbnail mip: XLA fallback (e ≥ 2 would be a
+        # negative shift in f1 below)
     f = 1 << (-e) if e < 0 else 1
     f1 = 1 << (1 - e)
     # small frames: take the whole frame's rows per block when legal
     R = block_rows or max(f1, f, min(n, 32))
     C = block_cols or min(n, 2048 if 2 * mlp["w2"].shape[0] == 128 else 1024)
-    if e > 0 or n % R or n < R or n % C or R % f1 or R % f:
+    if n % R or n < R or n % C or R % f1 or R % f:
         return None
 
     # dtype modes mirror the 2D kernel (decode_fused_v2._prepare_2d):

@@ -417,6 +417,34 @@ def _call(pc, c1v, pe_u, w2, b2, w3, b3, plane_scale=None, *, n: int,
     )
 
 
+def _geometry_ok(e, nr, ncl, R, C, f, f1) -> bool:
+    """The 2D kernel's static geometry gate (thumbnail mips with e > 0
+    and non-divisible tile shapes take the XLA fallback)."""
+    return not (e > 0 or nr % R or nr < R or ncl % C or R % f1 or R % f)
+
+
+def kernel_covers_2d(mip_level: int, image_size, mip_to_level: dict,
+                     hidden: int, block_rows=None, block_cols=None) -> bool:
+    """Pure-geometry predicate: will ``decode_image_fused_v2`` run the
+    Pallas kernel for this (mip, size) or fall back to folded XLA?
+    Mirrors ``_prepare_2d``'s gate without doing any compute — callers
+    (e.g. the decode CLI) use it to report the fallback instead of
+    silently decoding fp32 when a plane dtype was requested."""
+    hw = ((image_size, image_size) if isinstance(image_size, int)
+          else tuple(image_size))
+    fl = mip_to_level[mip_level]
+    e = mip_level - (fl + 1) * 2
+    if e > 0:
+        return False  # thumbnail mips (e ≥ 2 would even be a negative
+        # shift in the f1 expression below)
+    nr, ncl = (s // (2**mip_level) for s in hw)
+    f = 1 << (-e) if e < 0 else 1
+    f1 = 1 << (1 - e)
+    R = block_rows or max(8, f1)
+    C = block_cols or min(ncl, 2048 if 2 * hidden == 128 else 1024)
+    return _geometry_ok(e, nr, ncl, R, C, f, f1)
+
+
 def _prepare_2d(
     fp, mlp, mip_level: int, *, image_size, mip_to_level: dict,
     pe_channels: int, use_tri_pe: bool, dtype, block_rows, block_cols,
@@ -439,6 +467,10 @@ def _prepare_2d(
     nr, ncl = (s // (2**mip_level) for s in hw)
     channels = fp[fl * 2].shape[0]
 
+    if e > 0:
+        return None  # thumbnail mip: XLA fallback (e ≥ 2 would be a
+        # negative shift in f1 — pre-round-5 this crashed instead of
+        # falling back when the kernel entry was called directly)
     f = 1 << (-e) if e < 0 else 1
     f1 = 1 << (1 - e)  # G1 sample period in pixels (e ≤ 0)
     R = block_rows or max(8, f1)
@@ -447,7 +479,7 @@ def _prepare_2d(
     # retile transposes, fully contiguous windows): measured +39%
     hidden_ = mlp["w2"].shape[0]
     C = block_cols or min(ncl, 2048 if 2 * hidden_ == 128 else 1024)
-    if e > 0 or nr % R or nr < R or ncl % C or R % f1 or R % f:
+    if not _geometry_ok(e, nr, ncl, R, C, f, f1):
         return None
 
     # ``dtype`` modes:
@@ -626,11 +658,12 @@ def decode_image_fused_v2(
     pc, c1v, pe_u, w2, b2, w3, b3, plane_scale, geom = prep
     z1mm = geom["packed"] if z1_matmul == "auto" else bool(z1_matmul)
     if z1mm and plane_scale is not None:
-        if z1_matmul is not True:
+        if z1_matmul == "auto":
             z1mm = False  # auto: i16 planes take the VPU kernel
         else:
-            # an explicit True must not silently measure the other
-            # kernel (int16 operands can't ride the z1mm MXU dots)
+            # any explicit truthy request (True, 1, ...) must not
+            # silently measure the other kernel (int16 operands can't
+            # ride the z1mm MXU dots)
             raise ValueError(
                 "z1_matmul=True is incompatible with dtype='i16' planes "
                 "(int16 cannot feed the z1 MXU dots); use z1_matmul="

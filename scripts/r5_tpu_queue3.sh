@@ -18,11 +18,27 @@ echo "=== [1] parity sweep re-run $(date) ==="
 # re-run table would be missing exactly the worst cells the gate needs
 SWEEP_OUT=results/r5_gelu_parity_rerun.json \
     python scripts/r5_gelu_parity_sweep.py > /tmp/r5_parity2.log 2>&1
-if grep -q "^wrote " /tmp/r5_parity2.log; then
+# promote only a COMPLETE, error-free table: safe_cell swallows per-cell
+# exceptions into error rows (and decode_modes drops failed i16 keys),
+# yet the final "wrote" line still prints — bench's worst-cell gate
+# skips those rows, so promoting them would admit a mode to the exact
+# class on evidence that never measured its worst cells
+if python - <<'PYEOF'
+import json, sys
+try:
+    rows = json.load(open("results/r5_gelu_parity_rerun.json"))["rows"]
+except Exception:
+    sys.exit(1)
+errs = [r for r in rows if "error" in r]
+need = [r for r in rows if "error" not in r
+        and "pallas_i16_tanherf_max_lsb" not in r]
+sys.exit(0 if len(rows) >= 20 and not errs and not need else 1)
+PYEOF
+then
     cp results/r5_gelu_parity_rerun.json results/r5_gelu_parity.json
     echo "sweep complete — table promoted"
 else
-    echo "sweep INCOMPLETE — keeping the previous committed table"
+    echo "sweep INCOMPLETE/errored — keeping the previous committed table"
 fi
 echo "=== [2] bench $(date) ==="
 python bench.py 2>/tmp/r5_bench.err | tail -1 > /tmp/r5_bench.json

@@ -590,3 +590,53 @@ def test_fused_v2_z1_matmul_auto_packed():
     assert seen["packed"] is True and seen["z1mm"] is True
     np.testing.assert_allclose(got, want, atol=2e-5)
     np.testing.assert_allclose(got2, want, atol=2e-5)
+
+
+def test_thumbnail_mips_fall_back_not_crash():
+    """e ≥ 2 thumbnail mips must take the XLA fallback (pre-round-5 the
+    kernel entries crashed on a negative shift computing f1 when called
+    directly), and the pure-geometry predicates must say so without
+    doing any compute."""
+    from nic.grids.fastdecode import fast_decode
+    from nic.kernels.decode_fused_3d import (decode_volume_fused,
+                                             kernel_covers_3d)
+    from nic.kernels.decode_fused_v2 import (decode_image_fused_v2,
+                                             kernel_covers_2d)
+
+    image_size, base, c, pe = 32, 8, 4, 4
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    fp, _ = create_pyramid(k1, base, channels=c, num_bits=8, ndim=2,
+                           no_mip=True)
+    m2l = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp = init_mlp(k2, c * 5 + pe * 2 + 1, 16, 3)
+    # find a thumbnail mip with e >= 2 in the map
+    mips = [m for m in sorted(m2l) if m - (m2l[m] + 1) * 2 >= 2]
+    assert mips, "protocol map should contain an e>=2 thumbnail mip"
+    mip = mips[0]
+    assert not kernel_covers_2d(mip, image_size, m2l, mlp["w2"].shape[0])
+    got = np.asarray(decode_image_fused_v2(
+        fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+        pe_channels=pe))
+    want = np.asarray(fast_decode(
+        fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+        pe_channels=pe, ndim=2))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # covered geometries still report True
+    assert kernel_covers_2d(0, image_size, m2l, mlp["w2"].shape[0])
+
+    fp3, _ = create_pyramid(k1, base, channels=c, num_bits=8, ndim=3,
+                            no_mip=True)
+    m2l3 = pyramid_mip_levels(image_size, base, no_mip=True)
+    mlp3 = init_mlp(k2, c * 9 + pe * 3 + 1, 16, 3)
+    mips3 = [m for m in sorted(m2l3) if m - (m2l3[m] + 1) * 2 >= 2]
+    assert mips3, "3D map should contain an e>=2 thumbnail mip"
+    assert not kernel_covers_3d(mips3[0], image_size, m2l3,
+                                mlp3["w2"].shape[0])
+    got3 = np.asarray(decode_volume_fused(
+        fp3, mlp3, mips3[0], image_size=image_size, mip_to_level=m2l3,
+        pe_channels=pe, use_tri_pe=True, sparse_g0=False))
+    want3 = np.asarray(fast_decode(
+        fp3, mlp3, mips3[0], image_size=image_size, mip_to_level=m2l3,
+        pe_channels=pe, ndim=3))
+    np.testing.assert_allclose(got3, want3, atol=2e-5)
+    assert kernel_covers_3d(0, image_size, m2l3, mlp3["w2"].shape[0])
