@@ -19,8 +19,10 @@ Backends:
   no numbers of its own, BASELINE.md);
 - ``fast``: folded-first-layer XLA graph (nic.grids.fastdecode);
 - ``pallas``: the fused kernel (nic.kernels.decode_fused_v2 rev2),
-  measured with exact-erf GELU (bit-parity mode) and tanh GELU (fast
-  mode, error < one 8-bit quantization step).
+  measured across the plane-dtype × GELU mode ladder; each mode's u8
+  accuracy label comes from the committed trained-model parity sweep
+  (results/r5_gelu_parity.json) via the evidence gates below, never
+  from prose.
 
 The north-star target from BASELINE.json is ≥ 1 GPix/s/chip.
 """
