@@ -109,3 +109,40 @@ def test_decode_cli_pallas_handles_sparse_g0(tmp_path):
     got = np.asarray(decode_run([art, "--backend", "pallas"]))
     want = np.asarray(decode_run([art, "--backend", "fast"]))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_decode_cli_notes_ignored_dtype_and_fallback(tmp_path, capsys):
+    """Round-5 never-drop-dtype-silently notes: (a) --dtype on a
+    non-pallas backend says the dtype is ignored; (b) a thumbnail mip
+    outside the kernel gate on --backend pallas says the folded-XLA
+    fp32 fallback is in use."""
+    from nic.cli.decode import run as decode_run
+
+    cfg = CompressionConfig(
+        image_size=32, crop_mip_level=4, num_crops=2, num_epochs=10,
+        fp_bits=4, feature_pyramid_channels=4, pe_channels=4,
+        hidden_layer_channels=16, tf_no_mip=True, seed=0,
+    )
+    y, x = np.mgrid[0:32, 0:32].astype(np.float32) / 32
+    img = np.clip(np.stack([x, y, x * y], axis=0), 0, 1)
+    tr = NTCTrainer(cfg, [img])
+    tr.train_many(10)
+    tr.freeze_and_quantize()
+    art = str(tmp_path / "a.npz")
+    save_compressed(art, tr.state.mlp, tr.state.fp, cfg.fp_bits, {
+        "config": {
+            "image_size": 32, "pe_channels": 4, "tf_use_tri_pe": True,
+            "tf_no_mip": True,
+        },
+    })
+
+    decode_run([art, "--backend", "fast", "--dtype", "i16"])
+    out = capsys.readouterr().out
+    assert "applies to the pallas backend" in out
+
+    # mip 4 on the 32² no-mip map is e=2: outside the kernel gate
+    decode_run([art, "--backend", "pallas", "--dtype", "i16",
+                "--mip", "4"])
+    out = capsys.readouterr().out
+    assert "outside the fused kernel" in out
+    assert "--dtype i16 does not apply" in out

@@ -640,3 +640,41 @@ def test_thumbnail_mips_fall_back_not_crash():
         pe_channels=pe, ndim=3))
     np.testing.assert_allclose(got3, want3, atol=2e-5)
     assert kernel_covers_3d(0, image_size, m2l3, mlp3["w2"].shape[0])
+
+
+def test_kernel_covers_predicates_match_prepare_gates():
+    """kernel_covers_2d/3d duplicate the _prepare gate arithmetic so the
+    CLI can report fallbacks without doing the fold — lock the two
+    together across the protocol's whole mip range so they can't drift."""
+    from nic.kernels import decode_fused_3d as k3
+    from nic.kernels import decode_fused_v2 as k2
+
+    image_size, base, c, pe = 32, 8, 4, 4
+    k1, kk = jax.random.split(jax.random.PRNGKey(17))
+    mlp = init_mlp(kk, c * 5 + pe * 2 + 1, 16, 3)
+    for no_mip in (True, False):
+        fp, _ = create_pyramid(k1, base, channels=c, num_bits=8, ndim=2,
+                               no_mip=no_mip)
+        m2l = pyramid_mip_levels(image_size, base, no_mip=no_mip)
+        for mip in sorted(m2l):
+            prep = k2._prepare_2d(
+                fp, mlp, mip, image_size=image_size, mip_to_level=m2l,
+                pe_channels=pe, use_tri_pe=True, dtype=None,
+                block_rows=None, block_cols=None)
+            assert k2.kernel_covers_2d(
+                mip, image_size, m2l, mlp["w2"].shape[0]) == (
+                prep is not None), f"2D drift at mip={mip} no_mip={no_mip}"
+
+    mlp3 = init_mlp(kk, c * 9 + pe * 3 + 1, 16, 3)
+    for no_mip in (True, False):
+        fp3, _ = create_pyramid(k1, base, channels=c, num_bits=8, ndim=3,
+                                no_mip=no_mip)
+        m2l3 = pyramid_mip_levels(image_size, base, no_mip=no_mip)
+        for mip in sorted(m2l3):
+            prep = k3._prepare_3d(
+                fp3, mlp3, mip, image_size=image_size, mip_to_level=m2l3,
+                pe_channels=pe, use_tri_pe=True, sparse_g0=False,
+                dtype=None, block_rows=None, block_cols=None)
+            assert k3.kernel_covers_3d(
+                mip, image_size, m2l3, mlp3["w2"].shape[0]) == (
+                prep is not None), f"3D drift at mip={mip} no_mip={no_mip}"
